@@ -1,0 +1,199 @@
+"""Single-source-of-truth configuration.
+
+The reference splits configuration truth between argparse defaults
+(``text2motion/options/train_options.py:7-25``), call-site hardcodes
+(``text2motion/tools/train.py:58-70``: ff_size=256, num_heads=4,
+text_latent_dim=128, moe_num_experts=4, model_size="small") and a README
+table that matches neither. Here one frozen dataclass hierarchy is the only
+truth; it serializes to JSON next to every checkpoint and round-trips for
+eval/vis (replacing the reference's ``opt.txt`` dump/re-parse,
+``options/base_options.py:77-87`` / ``utils/get_opt.py:30-92``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset constants. Mirrors ``tools/train.py:113-130`` (t2m/kit)."""
+
+    dataset_name: str = "t2m"          # "t2m" (HumanML3D) or "kit"
+    data_root: str = "./data/HumanML3D"
+    dim_pose: int = 263                # 251 for kit
+    num_joints: int = 22               # 21 for kit
+    max_motion_length: int = 196       # fixed model sequence length
+    min_motion_length: int = 40        # filter: 40 <= len < 200 (t2m); 24 for kit
+    unit_length: int = 4               # temporal downsample unit (eval snapping)
+    feat_bias: float = 25.0            # root-vel/foot-contact std divisor (dataset1.py:82-104)
+    times: int = 1                     # dataset duplication multiplier (dataset1.py:118-119)
+    max_text_len: int = 20             # GloVe token cap for the eval pathway
+
+    @staticmethod
+    def humanml3d(**kw: Any) -> "DataConfig":
+        return DataConfig(dataset_name="t2m", dim_pose=263, num_joints=22,
+                          min_motion_length=40, **kw)
+
+    @staticmethod
+    def kit(**kw: Any) -> "DataConfig":
+        return DataConfig(dataset_name="kit", data_root="./data/KIT-ML",
+                          dim_pose=251, num_joints=21, min_motion_length=24, **kw)
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """Diffusion process. Mirrors ``models/gaussian_diffusion.py`` +
+    ``trainers/ddpm_trainer.py:43-51`` (the live config: eps-pred, FIXED_SMALL, MSE)."""
+
+    num_timesteps: int = 1000
+    beta_schedule: str = "linear"      # linear | cosine | sqrt
+    model_mean_type: str = "epsilon"   # epsilon | start_x | previous_x
+    model_var_type: str = "fixed_small"  # fixed_small | fixed_large | learned | learned_range
+    loss_type: str = "mse"             # mse | rescaled_mse | kl | rescaled_kl
+    schedule_sampler: str = "uniform"  # uniform | loss-second-moment | adaptive
+    cfg_scale: float = 7.5             # trainers/ddpm_trainer.py:61
+    clip_denoised: bool = False        # trainer passes clip_denoised=False (:163)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Denoiser + text-encoder architecture. Mirrors
+    ``models/transformer.py:174-257`` with the call-site hardcodes of
+    ``tools/train.py:58-70`` as defaults."""
+
+    input_feats: int = 263
+    max_frames: int = 196
+    latent_dim: int = 512
+    ff_size: int = 256                 # expert hidden size (tools/train.py:63)
+    num_layers: int = 8                # per U-Net scale
+    num_heads: int = 4
+    dropout: float = 0.1
+    activation: str = "gelu"
+    # --- MoE (models/switch_moe.py) ---
+    use_moe: bool = True
+    num_experts: int = 4               # tools/train.py:67
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 2.0   # static-shape dispatch headroom (TPU requirement)
+    moe_aux_loss_weight: float = 0.01
+    moe_num_branches: int = 2          # MoEMultiBranchFFN branches (multi_branch.py:31-61)
+    # --- attention (models/fast_attention.py) ---
+    num_random_features: int = 64      # Performer FAVOR+ feature count
+    xattn_chunk_size: int = 256        # MemoryEfficientCrossAttention chunk (tools/train.py:70)
+    # --- stochastic depth (models/time.py:35-48, transformer.py:227) ---
+    stochastic_depth_min: float = 0.8  # survival probs linspace(1.0 -> 0.8)
+    # --- text encoder (models/text_encoder.py) ---
+    text_encoder: str = "hash"         # "deberta-v3-large" | "hash"
+    text_latent_dim: int = 128         # tools/train.py:65
+    text_num_prompt_tokens: int = 8    # learned prompt tokens (text_encoder.py:19-22)
+    text_max_tokens: int = 77          # tokenizer max_length (text_encoder.py:25-28)
+    time_embed_mult: int = 4           # time_embed_dim = latent_dim * 4 (transformer.py:203)
+    dtype: str = "bfloat16"            # compute dtype; params stay float32
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. The reference is DP-only over NCCL
+    (``tools/train.py:95-100``); here a single Mesh carries data and expert
+    axes, with MoE all-to-all over the expert axis (ICI)."""
+
+    data_axis: str = "data"
+    expert_axis: str = "expert"
+    num_expert_partitions: int = 1     # experts sharded over this many devices
+    fsdp_axis: Optional[str] = None    # reserved (model is small)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization. Mirrors ``trainers/ddpm_trainer.py`` + train_options.py."""
+
+    batch_size: int = 32               # global batch (train_options.py:15)
+    num_epochs: int = 50               # train_options.py:13
+    lr: float = 2e-4                   # train_options.py:14
+    grad_clip_norm: float = 1.0        # ddpm_trainer.py:241
+    seed: int = 0
+    # Reference runs a second unconditional forward+update per batch
+    # (ddpm_trainer.py:319-333). `uncond_step` reproduces that; the
+    # recommended alternative is classic caption dropout.
+    uncond_step: bool = True
+    caption_dropout: float = 0.0
+    log_every: int = 50                # train_options.py
+    save_latest_every: int = 500       # train_options.py:25
+    save_every_epochs: int = 5         # ddpm_trainer.py:350-362
+    # Optional "advanced" losses from the reference README (README.md:24-31,
+    # 97-129) that its code never implements — implemented for real here.
+    w_velocity: float = 0.0            # temporal-coherence (velocity MSE)
+    w_acceleration: float = 0.0        # physics-prior (acceleration/jerk)
+    w_structure: float = 0.0           # bone-length consistency in joint space
+    w_progressive: float = 0.0         # multi-scale (downsampled) denoising MSE
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "t2m_moe_small"
+    checkpoint_dir: str = "./checkpoints"
+    data: DataConfig = field(default_factory=DataConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ---------------- serialization round-trip ----------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kw: Any) -> str:
+        return json.dumps(self.to_dict(), indent=2, **kw)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "ExperimentConfig":
+        return ExperimentConfig(
+            name=d.get("name", "exp"),
+            checkpoint_dir=d.get("checkpoint_dir", "./checkpoints"),
+            data=DataConfig(**d.get("data", {})),
+            diffusion=DiffusionConfig(**d.get("diffusion", {})),
+            model=ModelConfig(**d.get("model", {})),
+            parallel=ParallelConfig(**d.get("parallel", {})),
+            train=TrainConfig(**d.get("train", {})),
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "ExperimentConfig":
+        return ExperimentConfig.from_dict(json.loads(s))
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @staticmethod
+    def load(path: str) -> "ExperimentConfig":
+        with open(path) as f:
+            return ExperimentConfig.from_json(f.read())
+
+    # Convenience presets ------------------------------------------------
+    @staticmethod
+    def small_dense() -> "ExperimentConfig":
+        """BASELINE.json config #1: dense (no-MoE) small transformer."""
+        return ExperimentConfig(
+            name="t2m_dense_small",
+            model=ModelConfig(use_moe=False, num_layers=4, latent_dim=256,
+                              ff_size=512, text_latent_dim=128),
+        )
+
+    @staticmethod
+    def moe_small() -> "ExperimentConfig":
+        """The reference's live config (tools/train.py:58-70)."""
+        return ExperimentConfig(name="t2m_moe_small")
+
+    @staticmethod
+    def moe_big() -> "ExperimentConfig":
+        """README's 'big' config: experts=16, expert-sharded."""
+        return ExperimentConfig(
+            name="t2m_moe_big",
+            model=ModelConfig(latent_dim=768, ff_size=1024, num_layers=12,
+                              num_heads=8, num_experts=16),
+            parallel=ParallelConfig(num_expert_partitions=8),
+        )

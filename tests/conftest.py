@@ -1,0 +1,19 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+This is the TPU analog of a fake backend (SURVEY.md §4): meshes, expert
+all-to-all, and data-parallel psum all execute unmodified on 8 host devices.
+Must run before the first `import jax` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
