@@ -7,7 +7,9 @@ Must run before the first `import jax` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the ambient environment pins JAX_PLATFORMS=axon
+# (the real TPU tunnel) and tests must stay off the hardware.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
