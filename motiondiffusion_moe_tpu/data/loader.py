@@ -1,0 +1,121 @@
+"""Torch-free data loading with distributed sharding.
+
+Capability match of ``text2motion/datasets1/dataloader.py``: the
+``DistributedSampler`` (``:16-53``) with epoch-seeded deterministic shuffle
+and round-up padding so every rank draws the same number of batches, and
+``build_dataloader``'s collation (``:56-121``) without worker processes —
+batches are tiny ([B, 196, 263] float32) and the TPU input pipeline is
+host-compute-light, so synchronous prefetch of the next batch is enough.
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import queue as queue_mod
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Batch = Tuple[List[str], np.ndarray, np.ndarray]   # captions, motions, lengths
+
+
+class DistributedSampler:
+    """Deterministic per-rank index sampler (``dataloader.py:16-53``)."""
+
+    def __init__(self, dataset_len: int, num_replicas: int = 1, rank: int = 0,
+                 shuffle: bool = True, round_up: bool = True, seed: int = 0):
+        assert 0 <= rank < num_replicas
+        self.dataset_len = dataset_len
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.round_up = round_up
+        self.seed = seed
+        self.epoch = 0
+        if round_up:
+            self.num_samples = int(math.ceil(dataset_len / num_replicas))
+            self.total_size = self.num_samples * num_replicas
+        else:
+            self.num_samples = len(range(rank, dataset_len, num_replicas))
+            self.total_size = dataset_len
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[int]:
+        if self.shuffle:
+            g = np.random.default_rng(self.seed + self.epoch)
+            indices = g.permutation(self.dataset_len)
+        else:
+            indices = np.arange(self.dataset_len)
+        if self.round_up:
+            # pad by wrapping so every rank gets equal counts
+            indices = np.concatenate(
+                [indices, indices[: self.total_size - len(indices)]])
+        indices = indices[self.rank: self.total_size: self.num_replicas]
+        assert len(indices) == self.num_samples
+        return iter(indices.tolist())
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+
+def collate(samples: Sequence[Tuple[str, np.ndarray, int]]) -> Batch:
+    captions = [s[0] for s in samples]
+    motions = np.stack([s[1] for s in samples]).astype(np.float32)
+    lengths = np.asarray([s[2] for s in samples], dtype=np.int32)
+    return captions, motions, lengths
+
+
+class DataLoader:
+    """Minimal batching loader with background single-batch prefetch."""
+
+    def __init__(self, dataset, batch_size: int,
+                 sampler: Optional[DistributedSampler] = None,
+                 shuffle: bool = True, drop_last: bool = True,
+                 seed: int = 0, prefetch: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler or DistributedSampler(
+            len(dataset), shuffle=shuffle, seed=seed)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int) -> None:
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else math.ceil(
+            n / self.batch_size)
+
+    def _batches(self) -> Iterator[Batch]:
+        buf: List = []
+        for idx in self.sampler:
+            buf.append(self.dataset[idx])
+            if len(buf) == self.batch_size:
+                yield collate(buf)
+                buf = []
+        if buf and not self.drop_last:
+            yield collate(buf)
+
+    def __iter__(self) -> Iterator[Batch]:
+        if not self.prefetch:
+            yield from self._batches()
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+        _END = object()
+
+        def producer():
+            for b in self._batches():
+                q.put(b)
+            q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item

@@ -1,0 +1,342 @@
+"""Attention suite: Performer (FAVOR+) self-attention, linear and exact
+text cross-attention.
+
+Capability match of ``text2motion/models/fast_attention.py``. Numerics
+follow the reference exactly — including its stabilization quirks (0.1
+scalings, shared q/k/v/output LayerNorm, the same-position denominator in
+FastAttention) — because the model's training behavior depends on them.
+TPU-first differences:
+
+- the random-feature projection is a fixed (stop-gradient) parameter instead
+  of a lazily-created, never-checkpointed tensor (``fast_attention.py:33-36``
+  quirk: resampled per process/restart);
+- the exp feature map runs in float32 regardless of compute dtype (bf16
+  under/overflows the exp);
+- the chunked exact cross-attention loop (``:301-330``) is computed as one
+  whole-sequence softmax — bit-identical math (softmax is row-wise), and at
+  T=196 the chunking is pure overhead on TPU. ``chunk_size`` is kept for
+  config parity and used by the Pallas flash kernel tiling instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from motiondiffusion_moe_tpu.models.embeddings import StylizationBlock, grad_clamp
+
+
+def xavier_normal(gain: float = 1.0):
+    """torch.nn.init.xavier_normal_ equivalent."""
+    return nn.initializers.variance_scaling(
+        scale=gain * gain, mode="fan_avg", distribution="normal")
+
+
+def _orthogonal_feature_init(key, shape, dtype=jnp.float32):
+    """Orthogonal random-feature matrix, column-normalized and scaled by
+    head_dim**-0.25 (``fast_attention.py:20-27``).
+
+    Reference quirk: ``torch.linalg.qr(randn(d, m), 'reduced')`` returns a
+    [d, min(d, m)] Q, silently truncating m to d when m > d. We generate a
+    proper [d, m] near-orthogonal matrix instead (full feature count).
+    """
+    d, m = shape
+    w = jax.nn.initializers.orthogonal()(key, (max(d, m), max(d, m)), dtype)[:d, :m]
+    w = w / jnp.linalg.norm(w, axis=0, keepdims=True)
+    return w * (d ** -0.25)
+
+
+class FastAttention(nn.Module):
+    """FAVOR+-style linear attention core (``fast_attention.py:5-92``).
+
+    Inputs q, k, v: [B, H, T, Dh]; optional mask [B, T, 1] or [B, 1, T].
+    One LayerNorm (shared parameters) normalizes q, k, v and the output,
+    exactly as the reference reuses ``self.norm`` four times.
+    """
+
+    head_dim: int
+    num_features: int = 256
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        projection = self.param("projection", _orthogonal_feature_init,
+                                (self.head_dim, self.num_features))
+        # fixed random features: zero gradient, never updated
+        projection = jax.lax.stop_gradient(projection)
+
+        q = norm(q)
+        k = norm(k)
+        v = norm(v)
+
+        # L2 stabilization (fast_attention.py:54-56)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+
+        # exp feature map in float32 (bf16-unsafe)
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        proj32 = projection.astype(jnp.float32)
+        q_proj = jnp.exp(jnp.clip(jnp.einsum("bhtn,nm->bhtm", qf, proj32),
+                                  -15, 15)) * 0.1
+        k_proj = jnp.exp(jnp.clip(jnp.einsum("bhtn,nm->bhtm", kf, proj32),
+                                  -15, 15)) * 0.1
+
+        if mask is not None:
+            m = mask.astype(q_proj.dtype)
+            if m.ndim == 3 and m.shape[-1] == 1:   # [B, T, 1] -> [B, 1, T]
+                m = jnp.swapaxes(m, 1, 2)
+            k_proj = k_proj * m[..., None]
+
+        vf = v.astype(jnp.float32)
+        kv = jnp.einsum("bhtm,bhtn->bhmn", k_proj, vf) * 0.1
+        qkv = jnp.einsum("bhtm,bhmn->bhtn", q_proj, kv) * 0.1
+
+        # NOTE reference quirk (fast_attention.py:84-87): the denominator is
+        # the SAME-POSITION product q_proj[t]·k_proj[t], not the FAVOR+
+        # sum over all positions. Matched verbatim — training behavior
+        # depends on it.
+        denominator = jnp.einsum("bhtm,bhtm->bht", q_proj, k_proj)[..., None]
+        denominator = jnp.maximum(denominator, self.eps)
+
+        output = (qkv / denominator).astype(self.dtype)
+        return norm(output)
+
+
+class PerformerSelfAttention(nn.Module):
+    """Performer self-attention block (``fast_attention.py:94-179``)."""
+
+    latent_dim: int
+    num_heads: int
+    dropout: float
+    time_embed_dim: int
+    num_features: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
+                 src_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        B, T, D = x.shape
+        H = self.num_heads
+        head_dim = D // H
+        init = xavier_normal(0.1)  # fast_attention.py:155-158
+
+        h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)
+        q = nn.Dense(D, kernel_init=init, dtype=self.dtype, name="query")(h)
+        k = nn.Dense(D, kernel_init=init, dtype=self.dtype, name="key")(h)
+        v = nn.Dense(D, kernel_init=init, dtype=self.dtype, name="value")(h)
+        q, k, v = grad_clamp(q), grad_clamp(k), grad_clamp(v)
+
+        def heads(t):
+            return t.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3) * 0.1
+
+        attn_out = FastAttention(head_dim=head_dim,
+                                 num_features=self.num_features,
+                                 dtype=self.dtype, name="fast_attention")(
+            heads(q), heads(k), heads(v), mask=src_mask)
+        attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
+        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+        attn_out = nn.Dense(D, kernel_init=init, dtype=self.dtype,
+                            name="proj_out_0")(attn_out)
+        attn_out = nn.gelu(attn_out)
+        attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
+        attn_out = nn.Dense(D, kernel_init=init, dtype=self.dtype,
+                            name="proj_out_1")(attn_out)
+        attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
+        attn_out = nn.LayerNorm(dtype=self.dtype, name="post_norm")(attn_out)
+
+        # scale to unit sphere * sqrt(D) (fast_attention.py:169-171)
+        attn_out = attn_out / jnp.maximum(
+            jnp.linalg.norm(attn_out, axis=-1, keepdims=True), 1e-12)
+        attn_out = attn_out * (D ** 0.5)
+
+        # reference quirk: the module-wide xavier(0.1) re-init OVERRIDES the
+        # zero-init of this style block's output layer (fast_attention.py:
+        # 155-158 runs after StylizationBlock.__init__) — reproduced via
+        # out_kernel_init.
+        style_out = _StyleBlockXavier(
+            latent_dim=D, time_embed_dim=self.time_embed_dim,
+            dropout=self.dropout, dtype=self.dtype,
+            name="style_block")(attn_out, emb, deterministic)
+        return x + 0.1 * style_out
+
+
+class _StyleBlockXavier(nn.Module):
+    """StylizationBlock variant with xavier(0.1)-init output (see
+    PerformerSelfAttention note)."""
+
+    latent_dim: int
+    time_embed_dim: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, emb, deterministic: bool = True):
+        init = xavier_normal(0.1)
+        if emb.shape[-1] != self.time_embed_dim:
+            emb = nn.Dense(self.time_embed_dim, kernel_init=init,
+                           dtype=self.dtype, name="emb_proj")(emb)
+        emb_out = nn.Dense(2 * self.latent_dim, kernel_init=init,
+                           dtype=self.dtype, name="emb_layers")(nn.silu(emb))
+        scale, shift = jnp.split(emb_out[:, None, :], 2, axis=-1)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h) * (1 + scale) + shift
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.latent_dim, kernel_init=init, dtype=self.dtype,
+                     name="out")(h)
+        return h
+
+
+class DualSelfAttentionBlock(nn.Module):
+    """Two stacked Performers ('local' then 'global') + projected skip
+    (``fast_attention.py:185-226``)."""
+
+    latent_dim: int
+    num_heads: int
+    dropout: float
+    time_embed_dim: int
+    num_features: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
+                 src_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)
+        local_out = PerformerSelfAttention(
+            latent_dim=self.latent_dim, num_heads=self.num_heads,
+            dropout=self.dropout, time_embed_dim=self.time_embed_dim,
+            num_features=self.num_features, dtype=self.dtype,
+            name="local_attn")(h, emb, src_mask, deterministic)
+        global_out = PerformerSelfAttention(
+            latent_dim=self.latent_dim, num_heads=self.num_heads,
+            dropout=self.dropout, time_embed_dim=self.time_embed_dim,
+            num_features=self.num_features, dtype=self.dtype,
+            name="global_attn")(local_out, emb, src_mask, deterministic)
+
+        skip = nn.Dense(self.latent_dim, dtype=self.dtype, name="skip_proj")(x)
+        skip = nn.Dropout(self.dropout)(skip, deterministic=deterministic)
+        skip = nn.gelu(skip)
+
+        out = skip + 0.1 * global_out
+        return nn.LayerNorm(dtype=self.dtype, name="post_norm")(out)
+
+
+class LinearTemporalCrossAttention(nn.Module):
+    """Softmax-kernel linear cross-attention over text tokens with a scalar
+    sigmoid gate (``fast_attention.py:227-258``)."""
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, xf: jnp.ndarray, emb: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        B, T, D = x.shape
+        N = xf.shape[1]
+        H = self.num_heads
+
+        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        tn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
+        q = jax.nn.softmax(
+            nn.Dense(D, dtype=self.dtype, name="query")(xn).reshape(B, T, H, -1),
+            axis=-1)
+        k = jax.nn.softmax(
+            nn.Dense(D, dtype=self.dtype, name="key")(tn).reshape(B, N, H, -1),
+            axis=1)
+        v = nn.Dense(D, dtype=self.dtype, name="value")(tn).reshape(B, N, H, -1)
+
+        attention = jnp.einsum("bnhd,bnhl->bhdl", k, v)
+        y = jnp.einsum("bnhd,bhdl->bnhl", q, attention).reshape(B, T, D)
+
+        gate = self.param("adaptive_gate", nn.initializers.zeros, (1,))
+        alpha = nn.sigmoid(gate.astype(self.dtype))
+        style = StylizationBlock(latent_dim=D, time_embed_dim=self.time_embed_dim,
+                                 dropout=self.dropout, dtype=self.dtype,
+                                 name="proj_out")(y, emb, deterministic)
+        return x + alpha * style
+
+
+class GatedCrossAttention(nn.Module):
+    """Per-channel gated wrapper around LinearTemporalCrossAttention
+    (``fast_attention.py:260-272``)."""
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, xf: jnp.ndarray, emb: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        ca_out = LinearTemporalCrossAttention(
+            latent_dim=self.latent_dim, text_latent_dim=self.text_latent_dim,
+            num_heads=self.num_heads, dropout=self.dropout,
+            time_embed_dim=self.time_embed_dim, dtype=self.dtype,
+            name="base_ca")(x, xf, emb, deterministic)
+        gate = self.param("gate", nn.initializers.zeros, (self.latent_dim,))
+        alpha = nn.sigmoid(gate.astype(self.dtype)).reshape(1, 1, -1)
+        return x + alpha * (ca_out - x)
+
+
+class CrossAttentionBlock(nn.Module):
+    """Exact softmax cross-attention + small residual FFN
+    (``MemoryEfficientCrossAttentionBlock``, ``fast_attention.py:274-330``).
+
+    Whole-sequence computation replaces the query-chunk loop (identical
+    math); a Pallas flash-attention kernel covers the genuinely
+    memory-bound regime.
+    """
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    chunk_size: int = 256  # kept for config parity; tiling hint for Pallas
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, xf: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        B, T, D = x.shape
+        N = xf.shape[1]
+        H = self.num_heads
+        head_dim = D // H
+        scale = head_dim ** -0.5
+
+        q = nn.Dense(D, dtype=self.dtype, name="query")(x).reshape(B, T, H, head_dim)
+        k = nn.Dense(D, dtype=self.dtype, name="key")(xf).reshape(B, N, H, head_dim)
+        v = nn.Dense(D, dtype=self.dtype, name="value")(xf).reshape(B, N, H, head_dim)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        if mask is not None:
+            scores = scores + mask[:, None, :, :]
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+        out = nn.Dense(D, dtype=self.dtype, name="out")(out)
+
+        # small residual FFN (fast_attention.py:293-299,327-329)
+        h = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")(out)
+        h = nn.Dense(D * 4, dtype=self.dtype, name="ffn_0")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(D, dtype=self.dtype, name="ffn_1")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        out = out + h
+        return x + out

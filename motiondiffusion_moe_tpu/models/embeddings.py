@@ -1,0 +1,141 @@
+"""Conditioning modules: time embedding, time-text fusion, AdaLN.
+
+Capability match of ``text2motion/models/time.py``, ``gate.py``,
+``stylization.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@jax.custom_vjp
+def grad_clamp(x: jnp.ndarray, limit: float = 1.0) -> jnp.ndarray:
+    """Identity forward; clamps the cotangent to [-limit, limit] on backward.
+
+    Reproduces the per-tensor ``register_hook(lambda g: clamp(g, -1, 1))``
+    the reference installs on q/k/v (``fast_attention.py:150-152``) — in JAX
+    a custom_vjp instead of a mutable hook.
+    """
+    return x
+
+
+def _grad_clamp_fwd(x, limit):
+    return x, limit
+
+
+def _grad_clamp_bwd(limit, g):
+    return jnp.clip(g, -limit, limit), None
+
+
+grad_clamp.defvjp(_grad_clamp_fwd, _grad_clamp_bwd)
+
+
+def timestep_sinusoidal(timesteps: jnp.ndarray, dim: int,
+                        max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal timestep features, cos-first ordering
+    (``time.py:15-28``)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps[:, None].astype(jnp.float32) * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 == 1:
+        embedding = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+class TimestepEmbedding(nn.Module):
+    """``LearnableTimeEmbedding`` (``time.py:4-31``): sinusoidal -> MLP
+    (Dense 2x -> SiLU -> Dense)."""
+
+    embed_dim: int
+    max_period: int = 10000
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        h = timestep_sinusoidal(timesteps, self.embed_dim, self.max_period)
+        h = h.astype(self.dtype)
+        h = nn.Dense(self.embed_dim * 2, dtype=self.dtype, name="mlp_0")(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="mlp_1")(h)
+        return h
+
+
+class GatedFusion(nn.Module):
+    """Sigmoid-gated time/text fusion (``gate.py:4-22``):
+    g = sigmoid(Wt t + Wx x); fused = MLP(g*t + (1-g)*x)."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, time_emb: jnp.ndarray, text_emb: jnp.ndarray) -> jnp.ndarray:
+        t = nn.Dense(self.embed_dim, dtype=self.dtype, name="proj_time")(time_emb)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="proj_text")(text_emb)
+        gating = nn.sigmoid(t + x)
+        fused = gating * t + (1 - gating) * x
+        fused = nn.Dense(self.embed_dim, dtype=self.dtype, name="post_mlp_0")(fused)
+        fused = nn.silu(fused)
+        fused = nn.Dense(self.embed_dim, dtype=self.dtype, name="post_mlp_1")(fused)
+        return fused
+
+
+class StylizationBlock(nn.Module):
+    """AdaLN / FiLM modulation (``stylization.py:5-31``):
+    ``norm(h) * (1 + scale) + shift`` with zero-init output projection.
+
+    DOCUMENTED DIVERGENCE: when ``emb`` dim != ``time_embed_dim`` the
+    reference creates a FRESH RANDOM nn.Linear on every forward
+    (``stylization.py:22-24``) — and that path is always hit in the live
+    config because blocks are built with time_embed_dim=4*latent while
+    fused_emb has dim latent (``transformer.py:203,237,321``). Un-jittable
+    and non-learnable noise; replaced by a single learned projection
+    (created once, trained normally).
+    """
+
+    latent_dim: int
+    time_embed_dim: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, emb: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        if emb.shape[-1] != self.time_embed_dim:
+            emb = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+                           name="emb_proj")(emb)
+        emb_out = nn.Dense(2 * self.latent_dim, dtype=self.dtype,
+                           name="emb_layers")(nn.silu(emb))
+        emb_out = emb_out[:, None, :]  # [B, 1, 2D]
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h) * (1 + scale) + shift
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.latent_dim, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros, name="out")(h)
+        return h
+
+
+def stochastic_depth(block_fn, x: jnp.ndarray, survival_prob: float,
+                     deterministic: bool,
+                     rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Drop a whole residual block with prob 1-p during training
+    (``time.py:35-48``).
+
+    The reference draws ONE coin for the entire batch and returns the input
+    unchanged when dropped, with no eval-time rescaling; matched exactly.
+    Implemented with lax.cond so both branches stay in the jitted graph.
+    """
+    if deterministic or survival_prob >= 1.0:
+        return block_fn(x)
+    keep = jax.random.bernoulli(rng, survival_prob)
+    return jax.lax.cond(keep, block_fn, lambda h: h, x)

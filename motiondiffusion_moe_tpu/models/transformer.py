@@ -1,0 +1,241 @@
+"""The MoE motion-diffusion denoiser: a 2-scale U-Net transformer.
+
+Capability match of ``text2motion/models/transformer.py:17-64,166-361``
+(``MoEExtendedDecoderLayer`` + ``MotionTransformer``), TPU-first:
+
+- static shapes throughout (pad to ``max_frames`` + mask; ``generate_src_mask``
+  becomes a vectorized ``arange < length``, replacing the Python loop at
+  ``transformer.py:284-289``);
+- stochastic depth via ``lax.cond`` on a bernoulli draw (one coin per block
+  per step, like the reference's ``torch.rand(1)``, ``time.py:41-48``);
+- DOCUMENTED DIVERGENCE: the reference creates a fresh RANDOM
+  ``nn.Linear(text_latent, latent)`` on every forward when projecting
+  xf_proj (``transformer.py:313-315``) — replaced by a learned ``text_proj``
+  created once. Same class of fix as StylizationBlock's emb_proj.
+- the text encoder is a pluggable submodule (hash encoder or DeBERTa);
+  callers may pass precomputed (xf_proj, xf_out) to skip it — that is how
+  sampling encodes text once for all 1000 scan steps, where the reference
+  re-encodes the empty uncond prompt every step
+  (``gaussian_diffusion.py:1058-1072``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+import numpy as np
+
+from motiondiffusion_moe_tpu.config import ModelConfig
+from motiondiffusion_moe_tpu.models.attention import (
+    CrossAttentionBlock,
+    DualSelfAttentionBlock,
+    GatedCrossAttention,
+)
+from motiondiffusion_moe_tpu.models.embeddings import (
+    GatedFusion,
+    TimestepEmbedding,
+)
+from motiondiffusion_moe_tpu.models.moe import DenseFFN, MoEMultiBranchFFN
+from motiondiffusion_moe_tpu.models.text_encoder import TextEncoding, get_text_encoder
+
+
+def generate_src_mask(T: int, length: jnp.ndarray) -> jnp.ndarray:
+    """[B, T] float mask, 1 where frame index < length
+    (vectorized ``transformer.py:284-289``)."""
+    return (jnp.arange(T)[None, :] < length[:, None]).astype(jnp.float32)
+
+
+class MoEDecoderLayer(nn.Module):
+    """One decoder block (``MoEExtendedDecoderLayer``,
+    ``transformer.py:17-64``): dual Performer self-attn -> gated linear
+    cross-attn -> MoE multi-branch FFN -> exact cross-attn."""
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float
+    time_embed_dim: int
+    ffn_dim: int
+    num_experts: int = 8
+    num_branches: int = 2
+    top_k: int = 2
+    capacity_factor: float = 2.0
+    use_moe: bool = True
+    moe_compute: str = "dense"
+    chunk_size: int = 256
+    num_features: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, xf: jnp.ndarray, emb: jnp.ndarray,
+                 src_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        x = DualSelfAttentionBlock(
+            latent_dim=self.latent_dim, num_heads=self.num_heads,
+            dropout=self.dropout, time_embed_dim=self.time_embed_dim,
+            num_features=self.num_features, dtype=self.dtype,
+            name="dual_self_attn")(x, emb, src_mask, deterministic)
+        x = GatedCrossAttention(
+            latent_dim=self.latent_dim, text_latent_dim=self.text_latent_dim,
+            num_heads=self.num_heads, dropout=self.dropout,
+            time_embed_dim=self.time_embed_dim, dtype=self.dtype,
+            name="cross_attn")(x, xf, emb, deterministic)
+        if self.use_moe:
+            x = MoEMultiBranchFFN(
+                latent_dim=self.latent_dim, ffn_dim=self.ffn_dim,
+                num_experts=self.num_experts, num_branches=self.num_branches,
+                top_k=self.top_k, capacity_factor=self.capacity_factor,
+                dropout=self.dropout, time_embed_dim=self.time_embed_dim,
+                moe_compute=self.moe_compute, dtype=self.dtype,
+                name="ffn")(x, emb, deterministic)
+        else:
+            x = DenseFFN(
+                latent_dim=self.latent_dim, ffn_dim=self.ffn_dim,
+                num_branches=self.num_branches, dropout=self.dropout,
+                time_embed_dim=self.time_embed_dim, dtype=self.dtype,
+                name="ffn")(x, emb, deterministic)
+        x = CrossAttentionBlock(
+            latent_dim=self.latent_dim, text_latent_dim=self.text_latent_dim,
+            num_heads=self.num_heads, chunk_size=self.chunk_size,
+            dropout=self.dropout, dtype=self.dtype,
+            name="sd_cross_attn")(x, xf, mask=None, deterministic=deterministic)
+        return x
+
+
+class MotionTransformer(nn.Module):
+    """2-scale U-Net denoiser (``transformer.py:166-361``)."""
+
+    config: ModelConfig
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.config.latent_dim * self.config.time_embed_mult
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype) if cfg.dtype != "bfloat16" else jnp.bfloat16
+        # compute dtype: params are always f32 (flax keeps param dtype f32
+        # when dtype=bf16 via default param_dtype)
+        self._dtype = dtype
+
+        self.sequence_embedding = self.param(
+            "sequence_embedding", nn.initializers.normal(1.0),
+            (cfg.max_frames, cfg.latent_dim))
+
+        self.learnable_time_embed = TimestepEmbedding(
+            embed_dim=cfg.latent_dim, dtype=dtype)
+        self.gated_fusion = GatedFusion(embed_dim=cfg.latent_dim, dtype=dtype)
+        _, self.text_encoder = get_text_encoder(cfg)
+        self.time_embed_0 = nn.Dense(self.time_embed_dim, dtype=dtype)
+        self.time_embed_1 = nn.Dense(self.time_embed_dim, dtype=dtype)
+        self.time_proj = nn.Dense(cfg.latent_dim, dtype=dtype)
+        # learned text projection (fixes transformer.py:313-315)
+        self.text_proj = nn.Dense(cfg.latent_dim, dtype=dtype)
+
+        self.joint_embed = nn.Dense(cfg.latent_dim, dtype=dtype)
+        self.downsample = nn.Conv(cfg.latent_dim, kernel_size=(2,),
+                                  strides=(2,), dtype=dtype)
+        self.upsample = nn.ConvTranspose(cfg.latent_dim, kernel_size=(2,),
+                                         strides=(2,), dtype=dtype)
+
+        block_kw = dict(
+            latent_dim=cfg.latent_dim, text_latent_dim=cfg.text_latent_dim,
+            num_heads=cfg.num_heads, dropout=cfg.dropout,
+            time_embed_dim=self.time_embed_dim, ffn_dim=cfg.ff_size,
+            num_experts=cfg.num_experts, num_branches=cfg.moe_num_branches,
+            top_k=cfg.moe_top_k, capacity_factor=cfg.moe_capacity_factor,
+            use_moe=cfg.use_moe, chunk_size=cfg.xattn_chunk_size,
+            num_features=cfg.num_random_features, dtype=dtype)
+        self.decoder_blocks_low = [
+            MoEDecoderLayer(**block_kw, name=f"block_low_{i}")
+            for i in range(cfg.num_layers)]
+        self.decoder_blocks_high = [
+            MoEDecoderLayer(**block_kw, name=f"block_high_{i}")
+            for i in range(cfg.num_layers)]
+        # survival probs linspace(1.0 -> stochastic_depth_min)
+        self.survival_probs = np.linspace(
+            1.0, cfg.stochastic_depth_min, cfg.num_layers)
+
+        self.out = nn.Dense(cfg.input_feats,
+                            kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros, dtype=dtype)
+
+    def encode_text(self, text_ids: jnp.ndarray,
+                    deterministic: bool = True) -> TextEncoding:
+        return self.text_encoder(text_ids, deterministic=deterministic)
+
+    def _run_blocks(self, blocks, h, xf, emb, src_mask, deterministic):
+        for i, block in enumerate(blocks):
+            p = float(self.survival_probs[i])
+            fn = lambda t, b=block: b(t, xf, emb, src_mask, deterministic)
+            if deterministic or p >= 1.0:
+                h = fn(h)
+            else:
+                keep = jax.random.bernoulli(self.make_rng("stochdepth"), p)
+                h = jax.lax.cond(keep, fn, lambda t: t, h)
+        return h
+
+    def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
+                 length: jnp.ndarray,
+                 text_ids: Optional[jnp.ndarray] = None,
+                 xf_proj: Optional[jnp.ndarray] = None,
+                 xf_out: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        B, T, D = x.shape
+        dtype = self._dtype
+
+        # 1) text encode (transformer.py:309-315)
+        if xf_proj is None or xf_out is None:
+            enc = self.encode_text(text_ids, deterministic)
+            xf_proj, xf_out = enc.pooled, enc.tokens
+        xf_proj = self.text_proj(xf_proj.astype(dtype))
+
+        # 2) fuse time + text (transformer.py:317-321)
+        time_emb = self.learnable_time_embed(timesteps)
+        t_h = self.time_embed_0(time_emb)
+        t_h = nn.silu(t_h)
+        t_h = self.time_embed_1(t_h)
+        time_emb_proj = self.time_proj(t_h)
+        fused_emb = self.gated_fusion(time_emb_proj, xf_proj)
+
+        # 3) embed motion + positions (transformer.py:324-326)
+        h = self.joint_embed(x.astype(dtype))
+        h = h + self.sequence_embedding[None, :T, :].astype(dtype)
+
+        src_mask = generate_src_mask(T, length)[..., None]  # [B, T, 1]
+
+        # 4) coarse scale (transformer.py:332-344)
+        h_low = self.downsample(h)
+        t_low = h_low.shape[1]
+        length_low = (length // 2).astype(length.dtype)
+        src_mask_low = generate_src_mask(t_low, length_low)[..., None]
+        h_low = self._run_blocks(self.decoder_blocks_low, h_low,
+                                 xf_out.astype(dtype), fused_emb,
+                                 src_mask_low, deterministic)
+
+        # 5) upsample + skip (transformer.py:347-353)
+        h_up = self.upsample(h_low)
+        h_combined = h_up[:, :T] + h
+
+        # 6) full scale (transformer.py:356-357)
+        h_combined = self._run_blocks(self.decoder_blocks_high, h_combined,
+                                      xf_out.astype(dtype), fused_emb,
+                                      src_mask, deterministic)
+
+        # 7) zero-init out (transformer.py:360)
+        return self.out(h_combined).astype(jnp.float32)
+
+
+def sum_moe_aux_losses(collections) -> jnp.ndarray:
+    """Sum every sown MoE aux loss (the analog of ``get_moe_loss``,
+    ``transformer.py:279-287``). Pass the mutable-collections dict returned
+    by ``apply(..., mutable=["moe_losses"])``."""
+    losses = collections.get("moe_losses", {})
+    leaves = jax.tree_util.tree_leaves(losses)
+    if not leaves:
+        return jnp.asarray(0.0)
+    return sum(jnp.sum(l) for l in leaves)

@@ -1,0 +1,155 @@
+"""Text-to-motion generation pipeline (the inference API).
+
+Capability match of ``DDPMTrainer.generate`` / ``generate_batch``
+(``trainers/ddpm_trainer.py:145-199``) redesigned TPU-first:
+
+- text is encoded ONCE per prompt set; the unconditional (empty-string)
+  embeddings are computed once too — the reference re-encodes the empty
+  prompt inside all 1000 steps (``gaussian_diffusion.py:1058-1072``);
+- the full CFG denoising loop is a single jit-compiled ``lax.scan`` whose
+  step does one doubled-batch forward (cond rows stacked over uncond rows);
+- DDPM (1000 steps) and strided DDIM (e.g. 50 steps) share the machinery;
+- batches are padded to a fixed micro-batch so one compiled program serves
+  any prompt count (the reference re-runs Python per micro-batch of 8).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motiondiffusion_moe_tpu.config import ExperimentConfig
+from motiondiffusion_moe_tpu.diffusion.gaussian import (
+    ModelMeanType,
+    ModelVarType,
+    make_schedule,
+)
+from motiondiffusion_moe_tpu.diffusion.respace import (
+    respace_schedule,
+    space_timesteps,
+)
+from motiondiffusion_moe_tpu.diffusion.sampling import (
+    ddim_sample_loop,
+    ddpm_sample_loop_cfg,
+)
+from motiondiffusion_moe_tpu.models.text_encoder import get_text_encoder
+from motiondiffusion_moe_tpu.models.transformer import MotionTransformer
+
+
+class GenerationPipeline:
+    """Compiled text -> motion sampler."""
+
+    def __init__(self, cfg: ExperimentConfig,
+                 model: Optional[MotionTransformer] = None,
+                 params=None,
+                 *,
+                 sampler: str = "ddpm",          # "ddpm" | "ddim"
+                 num_inference_steps: Optional[int] = None,  # None = all T
+                 eta: float = 0.0,
+                 micro_batch: int = 8):
+        self.cfg = cfg
+        self.model = model or MotionTransformer(config=cfg.model)
+        self.params = params
+        self.tokenize, _ = get_text_encoder(cfg.model)
+        self.micro_batch = micro_batch
+        self.sampler = sampler
+        self.guidance_scale = cfg.diffusion.cfg_scale
+        self.mean_type = ModelMeanType(cfg.diffusion.model_mean_type)
+        self.var_type = ModelVarType(cfg.diffusion.model_var_type)
+        self.clip_denoised = cfg.diffusion.clip_denoised
+
+        base = make_schedule(schedule_name=cfg.diffusion.beta_schedule,
+                             num_timesteps=cfg.diffusion.num_timesteps)
+        if num_inference_steps and num_inference_steps < cfg.diffusion.num_timesteps:
+            self.sched, tmap = respace_schedule(
+                np.asarray(base.betas, dtype=np.float64),
+                space_timesteps(cfg.diffusion.num_timesteps,
+                                f"ddim{num_inference_steps}"))
+            self.timestep_map = jnp.asarray(tmap)
+        else:
+            self.sched = base
+            self.timestep_map = None
+        self._compiled = None
+
+    # ------------------------------------------------------------------
+    def _sample_fn(self):
+        """Build the jitted (params, ids_c, ids_u, lengths, rng) -> motions
+        sampler, closing over static config."""
+        model = self.model
+        sched = self.sched
+        tmap = self.timestep_map
+        guidance = self.guidance_scale
+        mean_type, var_type = self.mean_type, self.var_type
+        clip = self.clip_denoised
+        T = self.cfg.model.max_frames
+        D = self.cfg.model.input_feats
+        use_ddim = self.sampler == "ddim"
+        eta = 0.0
+
+        def fn(params, ids_c, ids_u, lengths, rng):
+            B = ids_c.shape[0]
+            enc_c = model.apply(params, ids_c,
+                                method=lambda m, i: m.encode_text(i))
+            enc_u = model.apply(params, ids_u,
+                                method=lambda m, i: m.encode_text(i))
+            xf_proj = jnp.concatenate([enc_c.pooled, enc_u.pooled], axis=0)
+            xf_out = jnp.concatenate([enc_c.tokens, enc_u.tokens], axis=0)
+            length2 = jnp.concatenate([lengths, lengths], axis=0)
+
+            def model_doubled(x2, t2):
+                out = model.apply(params, x2, t2, length2,
+                                  xf_proj=xf_proj, xf_out=xf_out,
+                                  mutable=["moe_losses", "moe_metrics"])[0]
+                return out
+
+            noise_key, loop_key = jax.random.split(rng)
+            noise = jax.random.normal(noise_key, (B, T, D))
+            if use_ddim:
+                return ddim_sample_loop(
+                    sched, model_doubled, noise, loop_key, eta=eta,
+                    guidance_scale=guidance, mean_type=mean_type,
+                    var_type=var_type, clip_denoised=clip, timestep_map=tmap)
+            return ddpm_sample_loop_cfg(
+                sched, model_doubled, noise, loop_key,
+                guidance_scale=guidance, mean_type=mean_type,
+                var_type=var_type, clip_denoised=clip, timestep_map=tmap)
+
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def generate(self, captions: Sequence[str], m_lens: Sequence[int],
+                 rng: Optional[jax.Array] = None) -> List[np.ndarray]:
+        """Generate one motion per caption; returns a list of [len_i, D]
+        arrays (un-normalized feature space — denormalize with the dataset's
+        MotionNormalizer, as the reference's vis/eval paths do)."""
+        assert self.params is not None, "set pipeline.params first"
+        rng = rng if rng is not None else jax.random.key(0)
+        if self._compiled is None:
+            self._compiled = self._sample_fn()
+
+        N = len(captions)
+        mb = self.micro_batch
+        uncond_ids = self.tokenize([""] * mb)
+        outputs: List[np.ndarray] = []
+        for start in range(0, N, mb):
+            chunk = list(captions[start: start + mb])
+            lens = list(m_lens[start: start + mb])
+            n = len(chunk)
+            # pad the tail chunk to the fixed micro-batch: one compiled shape
+            chunk += [""] * (mb - n)
+            lens += [self.cfg.model.max_frames] * (mb - n)
+            rng, key = jax.random.split(rng)
+            motions = self._compiled(
+                self.params,
+                jnp.asarray(self.tokenize(chunk)),
+                jnp.asarray(uncond_ids),
+                jnp.asarray(np.minimum(lens, self.cfg.model.max_frames)
+                            .astype(np.int32)),
+                key)
+            motions = np.asarray(motions)
+            for i in range(n):
+                outputs.append(motions[i, : int(min(lens[i], motions.shape[1]))])
+        return outputs

@@ -1,0 +1,142 @@
+"""Training CLI.
+
+Capability match of ``text2motion/tools/train.py`` with the single-source
+config replacing the argparse/opt.txt split truth (SURVEY.md §5):
+
+    python -m motiondiffusion_moe_tpu.tools.train --name my_run \
+        --dataset t2m --data_root ./data/HumanML3D --batch_size 32
+
+The config is serialized to ``<checkpoint_dir>/<name>/config.json`` and
+round-trips for evaluate/visualize (the ``opt.txt`` analog,
+``options/base_options.py:77-87`` / ``utils/get_opt.py:30-92``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the MoE motion diffusion model")
+    p.add_argument("--name", default="t2m_moe_small")
+    p.add_argument("--dataset", default="t2m", choices=["t2m", "kit", "synthetic"])
+    p.add_argument("--data_root", default="./data/HumanML3D")
+    p.add_argument("--checkpoint_dir", default="./checkpoints")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--num_epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--diffusion_steps", type=int, default=1000)
+    p.add_argument("--beta_schedule", default="linear",
+                   choices=["linear", "cosine", "sqrt"])
+    p.add_argument("--schedule_sampler", default="uniform",
+                   choices=["uniform", "loss-second-moment", "adaptive-loss"])
+    p.add_argument("--num_layers", type=int, default=8)
+    p.add_argument("--latent_dim", type=int, default=512)
+    p.add_argument("--ff_size", type=int, default=256)
+    p.add_argument("--num_heads", type=int, default=4)
+    p.add_argument("--num_experts", type=int, default=4)
+    p.add_argument("--no_moe", action="store_true")
+    p.add_argument("--model_size", default="small", choices=["small", "big"])
+    p.add_argument("--text_encoder", default="hash",
+                   choices=["hash", "deberta-v3-large"])
+    p.add_argument("--text_latent_dim", type=int, default=128)
+    p.add_argument("--times", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--save_latest", type=int, default=500)
+    p.add_argument("--save_every_e", type=int, default=5)
+    p.add_argument("--no_uncond_step", action="store_true")
+    p.add_argument("--caption_dropout", type=float, default=0.0)
+    p.add_argument("--w_velocity", type=float, default=0.0)
+    p.add_argument("--w_acceleration", type=float, default=0.0)
+    p.add_argument("--w_structure", type=float, default=0.0)
+    p.add_argument("--w_progressive", type=float, default=0.0)
+    p.add_argument("--expert_parallel", type=int, default=1)
+    p.add_argument("--synthetic_size", type=int, default=256,
+                   help="synthetic dataset size (dataset=synthetic)")
+    return p
+
+
+def config_from_args(args: argparse.Namespace):
+    from motiondiffusion_moe_tpu.config import (
+        DataConfig, DiffusionConfig, ExperimentConfig, ModelConfig,
+        ParallelConfig, TrainConfig)
+
+    if args.dataset == "kit":
+        data = DataConfig.kit(data_root=args.data_root, times=args.times)
+    else:
+        data = DataConfig.humanml3d(data_root=args.data_root, times=args.times)
+
+    # "big" doubles latent/ff/text dims (transformer.py:188-192)
+    mult = 2 if args.model_size == "big" else 1
+    model = ModelConfig(
+        input_feats=data.dim_pose, max_frames=data.max_motion_length,
+        latent_dim=args.latent_dim * mult, ff_size=args.ff_size * mult,
+        num_layers=args.num_layers, num_heads=args.num_heads,
+        use_moe=not args.no_moe, num_experts=args.num_experts,
+        text_encoder=args.text_encoder,
+        text_latent_dim=args.text_latent_dim * mult)
+
+    return ExperimentConfig(
+        name=args.name,
+        checkpoint_dir=args.checkpoint_dir,
+        data=data,
+        diffusion=DiffusionConfig(num_timesteps=args.diffusion_steps,
+                                  beta_schedule=args.beta_schedule,
+                                  schedule_sampler=args.schedule_sampler),
+        model=model,
+        parallel=ParallelConfig(num_expert_partitions=args.expert_parallel),
+        train=TrainConfig(batch_size=args.batch_size,
+                          num_epochs=args.num_epochs, lr=args.lr,
+                          seed=args.seed,
+                          uncond_step=not args.no_uncond_step,
+                          caption_dropout=args.caption_dropout,
+                          log_every=args.log_every,
+                          save_latest_every=args.save_latest,
+                          save_every_epochs=args.save_every_e,
+                          w_velocity=args.w_velocity,
+                          w_acceleration=args.w_acceleration,
+                          w_structure=args.w_structure,
+                          w_progressive=args.w_progressive))
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    import jax
+
+    from motiondiffusion_moe_tpu.data import (
+        DataLoader, SyntheticText2MotionDataset, Text2MotionDataset)
+    from motiondiffusion_moe_tpu.training import CheckpointManager, Trainer
+
+    run_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
+    os.makedirs(run_dir, exist_ok=True)
+    cfg.save(os.path.join(run_dir, "config.json"))
+    print(f"[train] config -> {run_dir}/config.json")
+    print(f"[train] devices: {jax.devices()}")
+
+    if args.dataset == "synthetic":
+        dataset = SyntheticText2MotionDataset(cfg.data,
+                                              size=args.synthetic_size,
+                                              seed=cfg.train.seed)
+    else:
+        dataset = Text2MotionDataset(cfg.data, split="train",
+                                     seed=cfg.train.seed)
+        dataset.normalizer.save(os.path.join(run_dir, "meta"))
+
+    loader = DataLoader(dataset, batch_size=cfg.train.batch_size,
+                        seed=cfg.train.seed)
+    norm = dataset.normalizer
+    trainer = Trainer(cfg, normalizer_stats=(norm.mean, norm.std))
+    state = trainer.init_state()
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    trainer.fit(state, loader, checkpoints=ckpt)
+    ckpt.close()
+    print("[train] done")
+
+
+if __name__ == "__main__":
+    main()

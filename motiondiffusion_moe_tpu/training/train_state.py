@@ -1,0 +1,179 @@
+"""Train state and the jitted train step.
+
+Capability match of the reference's optimization recipe
+(``trainers/ddpm_trainer.py:228-244,291-362``): Adam at ``lr``, global-norm
+gradient clip 1.0, masked eps-MSE plus the MoE balance term, with the
+second unconditional pass per batch (``:319-333``) and/or classic caption
+dropout. TPU-first: forward+backward+update is ONE jitted function; the
+(cond, uncond) double step is two invocations of the same compiled
+function with different text ids (identical shapes -> no recompile).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from motiondiffusion_moe_tpu.config import ExperimentConfig
+from motiondiffusion_moe_tpu.diffusion.gaussian import (
+    DiffusionSchedule,
+    LossType,
+    ModelMeanType,
+    ModelVarType,
+    pred_xstart_from_eps,
+    q_sample,
+    training_loss_terms,
+)
+from motiondiffusion_moe_tpu.models.transformer import (
+    MotionTransformer,
+    generate_src_mask,
+    sum_moe_aux_losses,
+)
+from motiondiffusion_moe_tpu.training import losses as L
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state)
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    """clip_by_global_norm(1.0) -> Adam(lr) (``ddpm_trainer.py:241,298``)."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+        optax.adam(cfg.train.lr),
+    )
+
+
+def create_train_state(model: MotionTransformer, cfg: ExperimentConfig,
+                       rng: jax.Array) -> TrainState:
+    """Initialize params (jitted — eager init is pathologically slow through
+    the TPU tunnel) and the optimizer state."""
+    mc = cfg.model
+    x = jnp.zeros((1, mc.max_frames, mc.input_feats))
+    t = jnp.zeros((1,), jnp.int32)
+    length = jnp.full((1,), mc.max_frames, jnp.int32)
+    ids = jnp.zeros((1, mc.text_max_tokens), jnp.int32)
+
+    @jax.jit
+    def init(key):
+        return model.init({"params": key}, x, t, length, text_ids=ids)
+
+    variables = init(rng)
+    tx = make_optimizer(cfg)
+    return TrainState(step=jnp.zeros((), jnp.int32),
+                      params=variables,
+                      opt_state=tx.init(variables),
+                      tx=tx)
+
+
+def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
+                    cfg: ExperimentConfig,
+                    normalizer_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                    jit: bool = True,
+                    ) -> Callable:
+    """Build the jitted train step.
+
+    Batch dict: ``motion`` [B,T,D] (normalized), ``length`` [B],
+    ``text_ids`` [B,N], ``t`` [B] (schedule-sampler output), ``t_weight``
+    [B] (importance weights; all-ones for uniform).
+    Returns ``(new_state, metrics)`` where metrics includes the per-sample
+    frame-MSE means needed to update loss-aware samplers host-side.
+    """
+    dc = cfg.diffusion
+    tc = cfg.train
+    mean_type = ModelMeanType(dc.model_mean_type)
+    var_type = ModelVarType(dc.model_var_type)
+    loss_type = LossType(dc.loss_type)
+    use_advanced = (tc.w_velocity > 0 or tc.w_acceleration > 0
+                    or tc.w_structure > 0 or tc.w_progressive > 0)
+    if normalizer_stats is not None:
+        norm_mean = jnp.asarray(normalizer_stats[0])
+        norm_std = jnp.asarray(normalizer_stats[1])
+    else:
+        norm_mean = norm_std = None
+
+    def loss_fn(params, batch, rng):
+        noise_key, drop_key, depth_key = jax.random.split(rng, 3)
+        x_start = batch["motion"]
+        t = batch["t"]
+        noise = jax.random.normal(noise_key, x_start.shape, x_start.dtype)
+        x_t = q_sample(sched, x_start, t, noise)
+
+        model_out, cols = model.apply(
+            params, x_t, t, batch["length"], text_ids=batch["text_ids"],
+            deterministic=False,
+            rngs={"dropout": drop_key, "stochdepth": depth_key},
+            mutable=["moe_losses", "moe_metrics"])
+
+        terms = training_loss_terms(sched, model_out, x_start, x_t, t, noise,
+                                    mean_type=mean_type, var_type=var_type,
+                                    loss_type=loss_type)
+        src_mask = generate_src_mask(x_start.shape[1], batch["length"])
+        loss_rec = L.masked_frame_mse(terms["pred"], terms["target"], src_mask)
+
+        moe_loss = sum_moe_aux_losses(cols) * cfg.model.moe_aux_loss_weight
+        total = loss_rec + moe_loss
+        metrics = {"loss_mot_rec": loss_rec, "loss_moe": moe_loss}
+
+        if use_advanced:
+            if mean_type == ModelMeanType.EPSILON:
+                pred_x0 = pred_xstart_from_eps(sched, x_t, t, terms["pred"])
+            else:
+                pred_x0 = terms["pred"]
+            if tc.w_velocity > 0:
+                lv = L.velocity_loss(pred_x0, x_start, src_mask)
+                total = total + tc.w_velocity * lv
+                metrics["loss_velocity"] = lv
+            if tc.w_acceleration > 0:
+                la = L.acceleration_loss(pred_x0, x_start, src_mask)
+                total = total + tc.w_acceleration * la
+                metrics["loss_acceleration"] = la
+            if tc.w_progressive > 0:
+                lp = L.progressive_loss(pred_x0, x_start, src_mask)
+                total = total + tc.w_progressive * lp
+                metrics["loss_progressive"] = lp
+            if tc.w_structure > 0:
+                assert norm_mean is not None, \
+                    "structure loss needs normalizer stats (joint-space decode)"
+                pd = pred_x0 * norm_std + norm_mean
+                td = x_start * norm_std + norm_mean
+                ls = L.structure_loss(pd, td, src_mask, cfg.data.num_joints)
+                total = total + tc.w_structure * ls
+                metrics["loss_structure"] = ls
+
+        metrics["loss_total"] = total
+        # per-sample masked mse (for loss-aware schedule samplers)
+        per_frame = jnp.mean((terms["pred"] - terms["target"]) ** 2, axis=-1)
+        per_sample = (jnp.sum(per_frame * src_mask, axis=1)
+                      / jnp.maximum(jnp.sum(src_mask, axis=1), 1.0))
+        metrics["per_sample_mse"] = per_sample
+        return total, metrics
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    if not jit:
+        # raw fn for callers that apply their own jit + shardings
+        # (parallel.make_sharded_train_step)
+        return train_step
+    return jax.jit(train_step, donate_argnums=(0,))

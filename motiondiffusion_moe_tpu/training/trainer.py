@@ -1,0 +1,129 @@
+"""Training orchestration.
+
+Capability match of ``DDPMTrainer.train`` (``trainers/ddpm_trainer.py:
+291-362``): epoch loop, per-batch conditional + unconditional double step
+(``:319-333``), periodic loss logging (``:342-347``), rolling latest +
+per-epoch checkpoints, auto-resume. Host-side work per step: sample t from
+the schedule sampler, tokenize captions; everything else is one jitted call.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motiondiffusion_moe_tpu.config import ExperimentConfig
+from motiondiffusion_moe_tpu.diffusion.gaussian import make_schedule
+from motiondiffusion_moe_tpu.diffusion.samplers import (
+    LossAwareSampler,
+    create_named_schedule_sampler,
+)
+from motiondiffusion_moe_tpu.models.text_encoder import get_text_encoder
+from motiondiffusion_moe_tpu.models.transformer import MotionTransformer
+from motiondiffusion_moe_tpu.training.checkpoint import CheckpointManager
+from motiondiffusion_moe_tpu.training.train_state import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+from motiondiffusion_moe_tpu.utils.logging import MetricsLogger
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig,
+                 model: Optional[MotionTransformer] = None,
+                 normalizer_stats=None,
+                 logger: Optional[MetricsLogger] = None):
+        self.cfg = cfg
+        self.model = model or MotionTransformer(config=cfg.model)
+        self.tokenize, _ = get_text_encoder(cfg.model)
+        self.sched = make_schedule(
+            schedule_name=cfg.diffusion.beta_schedule,
+            num_timesteps=cfg.diffusion.num_timesteps)
+        self.sampler = create_named_schedule_sampler(
+            cfg.diffusion.schedule_sampler, cfg.diffusion.num_timesteps)
+        self.train_step = make_train_step(self.model, self.sched, cfg,
+                                          normalizer_stats=normalizer_stats)
+        self.logger = logger or MetricsLogger(cfg.train.log_every)
+        self._np_rng = np.random.default_rng(cfg.train.seed)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.key(self.cfg.train.seed)
+        return create_train_state(self.model, self.cfg, rng)
+
+    def _make_batch(self, captions, motions, lengths) -> Dict[str, jnp.ndarray]:
+        B = motions.shape[0]
+        t, w = self.sampler.sample(B, self._np_rng)
+        if self.cfg.train.caption_dropout > 0:
+            drop = self._np_rng.random(B) < self.cfg.train.caption_dropout
+            captions = ["" if d else c for c, d in zip(captions, drop)]
+        return {
+            "motion": jnp.asarray(motions),
+            "length": jnp.asarray(lengths),
+            "text_ids": jnp.asarray(self.tokenize(list(captions))),
+            "t": jnp.asarray(t),
+            "t_weight": jnp.asarray(w),
+        }
+
+    def _update_sampler(self, batch, metrics) -> None:
+        if isinstance(self.sampler, LossAwareSampler):
+            self.sampler.update_with_local_losses(
+                np.asarray(batch["t"]), np.asarray(metrics["per_sample_mse"]))
+
+    # ------------------------------------------------------------------
+    def fit(self, state: TrainState, loader: Iterable,
+            rng: Optional[jax.Array] = None,
+            checkpoints: Optional[CheckpointManager] = None,
+            start_epoch: int = 0) -> TrainState:
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.key(cfg.train.seed + 1)
+
+        if checkpoints is not None:
+            restored = checkpoints.restore(state)
+            if restored is not None:
+                state, start_epoch = restored
+                print(f"[trainer] resumed from step {int(state.step)} "
+                      f"(epoch {start_epoch})")
+
+        it = int(state.step)
+        start_time = time.time()
+        for epoch in range(start_epoch, cfg.train.num_epochs):
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
+            for captions, motions, lengths in loader:
+                rng, k1, k2 = jax.random.split(rng, 3)
+                batch = self._make_batch(captions, motions, lengths)
+                state, metrics = self.train_step(state, batch, k1)
+                self._update_sampler(batch, metrics)
+                logs = OrderedDict(
+                    (k, float(v)) for k, v in metrics.items()
+                    if np.ndim(v) == 0)
+
+                if cfg.train.uncond_step:
+                    # second, unconditional forward+update (ddpm_trainer.py:
+                    # 319-333): same compiled fn, empty captions
+                    uncond = self._make_batch([""] * len(captions), motions,
+                                              lengths)
+                    state, umetrics = self.train_step(state, uncond, k2)
+                    self._update_sampler(uncond, umetrics)
+                    for k, v in umetrics.items():
+                        if np.ndim(v) == 0:
+                            logs[f"uncond_{k}"] = float(v)
+
+                it = int(state.step)
+                self.logger.log(it, epoch, logs, start_time)
+
+                if checkpoints is not None and it % cfg.train.save_latest_every == 0:
+                    checkpoints.save(it, state, epoch)
+
+            if checkpoints is not None:
+                checkpoints.save(it, state, epoch)
+        if checkpoints is not None:
+            checkpoints.wait()
+        return state

@@ -1,0 +1,246 @@
+"""Evaluation suite tests: metrics math, BiGRU packed-sequence parity with
+torch, evaluator wrapper, protocol plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motiondiffusion_moe_tpu.eval import (
+    EvalSample,
+    EvaluatorModelWrapper,
+    HashedWordVectorizer,
+    MaskedBiGRU,
+    ProtocolConfig,
+    build_generated_samples,
+    calculate_R_precision,
+    calculate_activation_statistics,
+    calculate_diversity,
+    calculate_frechet_distance,
+    calculate_multimodality,
+    calculate_top_k,
+    euclidean_distance_matrix,
+    evaluation,
+    get_metric_statistics,
+    make_batches,
+    score_mae_velocity_jerk,
+    snap_length,
+)
+
+
+class TestMetrics:
+    def test_euclidean_distance_matrix(self):
+        a = np.asarray([[0.0, 0.0], [1.0, 0.0]])
+        b = np.asarray([[0.0, 0.0], [0.0, 2.0]])
+        d = euclidean_distance_matrix(a, b)
+        np.testing.assert_allclose(d, [[0, 2], [1, np.sqrt(5)]], atol=1e-6)
+
+    def test_top_k_and_r_precision(self):
+        emb = np.eye(4).astype(np.float64)
+        # identical embeddings -> every query's nearest is itself
+        r = calculate_R_precision(emb, emb, top_k=3, sum_all=True)
+        assert r[0] == 4  # top-1 all correct
+        assert (np.diff(r) >= 0).all()  # cumulative
+
+    def test_fid_zero_for_identical(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((500, 8))
+        mu, cov = calculate_activation_statistics(x)
+        fid = calculate_frechet_distance(mu, cov, mu, cov)
+        assert abs(fid) < 1e-6
+
+    def test_fid_positive_for_shifted(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((500, 8))
+        y = x + 3.0
+        mu1, cov1 = calculate_activation_statistics(x)
+        mu2, cov2 = calculate_activation_statistics(y)
+        fid = calculate_frechet_distance(mu1, cov1, mu2, cov2)
+        assert fid == pytest.approx(9.0 * 8, rel=0.01)  # ||3||^2 per dim
+
+    def test_diversity_scales_with_spread(self):
+        rng = np.random.default_rng(0)
+        tight = rng.standard_normal((400, 8)) * 0.1
+        wide = rng.standard_normal((400, 8)) * 10
+        r = np.random.default_rng(1)
+        assert calculate_diversity(wide, 300, rng=r) > \
+            calculate_diversity(tight, 300, rng=np.random.default_rng(1))
+
+    def test_multimodality(self):
+        rng = np.random.default_rng(0)
+        act = rng.standard_normal((5, 20, 8))
+        mm = calculate_multimodality(act, 10, rng=rng)
+        assert mm > 0
+
+    def test_metric_statistics(self):
+        vals = np.asarray([1.0, 2.0, 3.0, 4.0])
+        mean, ci = get_metric_statistics(vals, 4)
+        assert mean == pytest.approx(2.5)
+        assert ci == pytest.approx(1.96 * np.std(vals) / 2)
+
+
+class TestMaskedBiGRUvsTorch:
+    def test_packed_sequence_parity(self):
+        """Our masked-scan BiGRU must match torch's pack_padded_sequence GRU
+        final hidden states bit-for-bit (to f32 tolerance) on ragged
+        lengths — the subtle trap SURVEY.md §7 hard-part 6 warns about."""
+        import torch
+
+        B, T, Din, H = 4, 10, 6, 8
+        lengths = np.asarray([10, 7, 5, 2])
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((B, T, Din)).astype(np.float32)
+
+        tgru = torch.nn.GRU(Din, H, batch_first=True, bidirectional=True)
+        h0 = torch.randn(2, B, H)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            torch.from_numpy(x), lengths.tolist(), batch_first=True)
+        with torch.no_grad():
+            gru_seq, gru_last = tgru(packed, h0)
+        torch_last = torch.cat([gru_last[0], gru_last[1]], dim=-1).numpy()
+
+        m = MaskedBiGRU(hidden_size=H)
+        sd = tgru.state_dict()
+        params = {"params": {
+            "fwd_w_ih": jnp.asarray(sd["weight_ih_l0"].numpy()),
+            "fwd_w_hh": jnp.asarray(sd["weight_hh_l0"].numpy()),
+            "fwd_b_ih": jnp.asarray(sd["bias_ih_l0"].numpy()),
+            "fwd_b_hh": jnp.asarray(sd["bias_hh_l0"].numpy()),
+            "bwd_w_ih": jnp.asarray(sd["weight_ih_l0_reverse"].numpy()),
+            "bwd_w_hh": jnp.asarray(sd["weight_hh_l0_reverse"].numpy()),
+            "bwd_b_ih": jnp.asarray(sd["bias_ih_l0_reverse"].numpy()),
+            "bwd_b_hh": jnp.asarray(sd["bias_hh_l0_reverse"].numpy()),
+        }}
+        _, ours_last = m.apply(params, jnp.asarray(x), jnp.asarray(lengths),
+                               jnp.asarray(h0.numpy()))
+        np.testing.assert_allclose(np.asarray(ours_last), torch_last,
+                                   atol=1e-5)
+
+    def test_seq_outputs_aligned(self):
+        """Padded-seq parity too: valid frames of the unpacked torch output
+        match ours."""
+        import torch
+
+        B, T, Din, H = 3, 6, 4, 5
+        lengths = np.asarray([6, 4, 3])
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((B, T, Din)).astype(np.float32)
+        tgru = torch.nn.GRU(Din, H, batch_first=True, bidirectional=True)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            torch.from_numpy(x), lengths.tolist(), batch_first=True)
+        with torch.no_grad():
+            seq_packed, _ = tgru(packed, torch.zeros(2, B, H))
+        seq_torch, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            seq_packed, batch_first=True, total_length=T)
+        seq_torch = seq_torch.numpy()
+
+        m = MaskedBiGRU(hidden_size=H)
+        sd = tgru.state_dict()
+        params = {"params": {
+            "fwd_w_ih": jnp.asarray(sd["weight_ih_l0"].numpy()),
+            "fwd_w_hh": jnp.asarray(sd["weight_hh_l0"].numpy()),
+            "fwd_b_ih": jnp.asarray(sd["bias_ih_l0"].numpy()),
+            "fwd_b_hh": jnp.asarray(sd["bias_hh_l0"].numpy()),
+            "bwd_w_ih": jnp.asarray(sd["weight_ih_l0_reverse"].numpy()),
+            "bwd_w_hh": jnp.asarray(sd["weight_hh_l0_reverse"].numpy()),
+            "bwd_b_ih": jnp.asarray(sd["bias_ih_l0_reverse"].numpy()),
+            "bwd_b_hh": jnp.asarray(sd["bias_hh_l0_reverse"].numpy()),
+        }}
+        seq_ours, _ = m.apply(params, jnp.asarray(x), jnp.asarray(lengths))
+        seq_ours = np.asarray(seq_ours)
+        for i, L in enumerate(lengths):
+            np.testing.assert_allclose(seq_ours[i, :L], seq_torch[i, :L],
+                                       atol=1e-5)
+
+
+class TestEvaluatorWrapper:
+    def test_embeddings_shapes(self):
+        w = EvaluatorModelWrapper(dim_pose=263)
+        B, T = 3, 32
+        motions = np.random.default_rng(0).standard_normal(
+            (B, T, 263)).astype(np.float32)
+        m_lens = np.asarray([32, 24, 16], np.int32)
+        emb = w.get_motion_embeddings(motions, m_lens)
+        assert emb.shape == (3, 512)
+        word_embs = np.zeros((B, 22, 300), np.float32)
+        pos = np.zeros((B, 22, 15), np.float32)
+        te, me = w.get_co_embeddings(word_embs, pos,
+                                     np.asarray([5, 7, 9]), motions, m_lens)
+        assert te.shape == (3, 512) and me.shape == (3, 512)
+        assert np.isfinite(te).all() and np.isfinite(me).all()
+
+    def test_length_matters(self):
+        """Different m_lens must change the embedding (packed semantics)."""
+        w = EvaluatorModelWrapper(dim_pose=263)
+        motions = np.random.default_rng(0).standard_normal(
+            (1, 64, 263)).astype(np.float32)
+        e1 = w.get_motion_embeddings(motions, np.asarray([64]))
+        e2 = w.get_motion_embeddings(motions, np.asarray([32]))
+        assert np.abs(e1 - e2).max() > 1e-4
+
+
+class TestProtocol:
+    def _samples(self, n=8, D=263):
+        rng = np.random.default_rng(0)
+        return [EvalSample(
+            caption=f"a person walks {i}",
+            tokens=["a/DET", "person/NOUN", "walks/VERB"],
+            motion=rng.standard_normal((196, D)).astype(np.float32) * 0.1,
+            m_length=int(rng.integers(40, 196))) for i in range(n)]
+
+    def test_snap_length(self):
+        assert snap_length(55) == 52          # floor to unit 4
+        assert snap_length(10) == 40          # min 10 units
+        assert snap_length(500) == 196        # cap
+
+    def test_make_batches(self):
+        samples = self._samples(5)
+        wv = HashedWordVectorizer()
+        batches = make_batches(samples, wv, batch_size=2)
+        assert len(batches) == 3
+        assert batches[0].word_embs.shape == (2, 22, 300)
+        assert batches[0].pos_ohots.shape == (2, 22, 15)
+
+    def test_build_generated_samples(self):
+        samples = self._samples(6)
+
+        def fake_generate(captions, lens, seed):
+            rng = np.random.default_rng(seed)
+            return [rng.standard_normal((L, 263)).astype(np.float32)
+                    for L in lens]
+
+        gen, (mm_motions, mm_lens) = build_generated_samples(
+            samples, fake_generate, mm_num_samples=2, mm_num_repeats=3)
+        assert len(gen) == 6
+        assert mm_motions.shape == (2, 3, 196, 263)
+        assert (mm_lens > 0).all()
+
+    def test_full_protocol_smoke(self, tmp_path):
+        """End-to-end protocol on tiny sizes with a fake generator and a
+        random-init evaluator: all five metrics come out finite."""
+        samples = self._samples(8)
+        wv = HashedWordVectorizer()
+        wrapper = EvaluatorModelWrapper(dim_pose=263)
+
+        def fake_generate(captions, lens, seed):
+            rng = np.random.default_rng(seed)
+            return [rng.standard_normal((L, 263)).astype(np.float32) * 0.1
+                    for L in lens]
+
+        cfg = ProtocolConfig(mm_num_samples=2, mm_num_repeats=3,
+                             mm_num_times=2, diversity_times=4,
+                             replication_times=2, batch_size=4)
+        summary = evaluation(samples, fake_generate, wrapper, wv,
+                             str(tmp_path / "log.txt"), cfg)
+        for metric in ("Matching Score", "FID", "Diversity", "MultiModality"):
+            for model, (mean, ci) in summary[metric].items():
+                assert np.isfinite(mean).all(), metric
+
+    def test_score_mae_velocity_jerk(self):
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((4, 32, 22, 3))
+        mae, vel, jerk, pae = score_mae_velocity_jerk(a, a)
+        assert mae.max() == 0 and vel == 0 and jerk == 0
+        b = a + rng.standard_normal(a.shape) * 0.1
+        mae, vel, jerk, _ = score_mae_velocity_jerk(b, a)
+        assert mae.mean() > 0 and vel > 0 and jerk > 0

@@ -1,0 +1,106 @@
+"""Generation pipeline + checkpoint round-trip tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motiondiffusion_moe_tpu.config import (
+    DataConfig,
+    DiffusionConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from motiondiffusion_moe_tpu.models import MotionTransformer
+from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
+from motiondiffusion_moe_tpu.training import CheckpointManager, Trainer
+
+
+def tiny_config() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="tiny",
+        data=DataConfig(dim_pose=26, max_motion_length=16,
+                        min_motion_length=8, num_joints=4),
+        # NOTE: >= ~100 steps: the scaled-linear schedule has beta_end =
+        # (1000/T)*0.02, so tiny T drives beta -> 1 and alpha_bar -> 0
+        # (1/sqrt(alpha_bar) = inf). Same degenerate behavior as the
+        # reference at small T.
+        diffusion=DiffusionConfig(num_timesteps=100),
+        model=ModelConfig(input_feats=26, max_frames=16, latent_dim=32,
+                          ff_size=16, num_layers=1, num_heads=2,
+                          num_experts=4, text_latent_dim=16,
+                          num_random_features=8, text_max_tokens=8,
+                          dropout=0.0, stochastic_depth_min=1.0,
+                          dtype="float32"),
+        train=TrainConfig(batch_size=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = tiny_config()
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    return cfg, trainer.model, state
+
+
+class TestGenerationPipeline:
+    def test_ddpm_generate(self, trained):
+        cfg, model, state = trained
+        pipe = GenerationPipeline(cfg, model, state.params, micro_batch=2)
+        outs = pipe.generate(["a person walks", "a person jumps"], [12, 16],
+                             rng=jax.random.key(0))
+        assert len(outs) == 2
+        assert outs[0].shape == (12, 26)
+        assert outs[1].shape == (16, 26)
+        assert all(np.isfinite(o).all() for o in outs)
+
+    def test_ddim_strided(self, trained):
+        cfg, model, state = trained
+        pipe = GenerationPipeline(cfg, model, state.params, sampler="ddim",
+                                  num_inference_steps=5, micro_batch=2)
+        assert pipe.sched.num_timesteps == 5
+        outs = pipe.generate(["walk"], [16], rng=jax.random.key(0))
+        assert outs[0].shape == (16, 26)
+
+    def test_micro_batch_padding(self, trained):
+        """3 prompts with micro_batch=2: tail chunk padded, one compiled
+        shape, 3 outputs."""
+        cfg, model, state = trained
+        pipe = GenerationPipeline(cfg, model, state.params, micro_batch=2)
+        outs = pipe.generate(["a", "b", "c"], [10, 12, 14],
+                             rng=jax.random.key(1))
+        assert [o.shape[0] for o in outs] == [10, 12, 14]
+
+    def test_deterministic_given_rng(self, trained):
+        cfg, model, state = trained
+        pipe = GenerationPipeline(cfg, model, state.params, micro_batch=1)
+        a = pipe.generate(["walk"], [16], rng=jax.random.key(5))[0]
+        b = pipe.generate(["walk"], [16], rng=jax.random.key(5))[0]
+        np.testing.assert_array_equal(a, b)
+
+
+class TestCheckpoints:
+    def test_save_restore_roundtrip(self, trained, tmp_path):
+        cfg, model, state = trained
+        mngr = CheckpointManager(str(tmp_path / "ckpt"))
+        mngr.save(1, state, epoch=3)
+        mngr.wait()
+        assert mngr.latest_step() == 1
+
+        trainer = Trainer(cfg)
+        fresh = trainer.init_state(jax.random.key(42))
+        restored, epoch = mngr.restore(fresh)
+        assert epoch == 3
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        mngr.close()
+
+    def test_restore_none_when_empty(self, trained, tmp_path):
+        cfg, model, state = trained
+        mngr = CheckpointManager(str(tmp_path / "empty"))
+        assert mngr.restore(state) is None
+        mngr.close()

@@ -1,0 +1,239 @@
+"""Training-step and trainer tests, including the overfit-one-batch e2e
+check (SURVEY.md §4 implication (d))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motiondiffusion_moe_tpu.config import (
+    DataConfig,
+    DiffusionConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from motiondiffusion_moe_tpu.data import (
+    DataLoader,
+    DistributedSampler,
+    SyntheticText2MotionDataset,
+)
+from motiondiffusion_moe_tpu.diffusion.gaussian import make_schedule
+from motiondiffusion_moe_tpu.models import MotionTransformer
+from motiondiffusion_moe_tpu.training import (
+    Trainer,
+    acceleration_loss,
+    create_train_state,
+    make_train_step,
+    masked_frame_mse,
+    progressive_loss,
+    structure_loss,
+    velocity_loss,
+)
+
+
+def tiny_config(**model_kw) -> ExperimentConfig:
+    return ExperimentConfig(
+        name="tiny",
+        data=DataConfig(dim_pose=26, max_motion_length=16,
+                        min_motion_length=8, num_joints=4),
+        diffusion=DiffusionConfig(num_timesteps=50),
+        model=ModelConfig(input_feats=26, max_frames=16, latent_dim=32,
+                          ff_size=16, num_layers=1, num_heads=2,
+                          num_experts=4, text_latent_dim=16,
+                          num_random_features=8, text_max_tokens=8,
+                          dropout=0.0, stochastic_depth_min=1.0,
+                          dtype="float32", **model_kw),
+        train=TrainConfig(batch_size=4, lr=1e-3, uncond_step=False),
+    )
+
+
+class TestLosses:
+    def test_masked_mse_ignores_padding(self):
+        pred = jnp.ones((2, 4, 3))
+        target = jnp.zeros((2, 4, 3))
+        target = target.at[:, 2:].set(100.0)  # wrong only in padded frames
+        mask = jnp.asarray([[1, 1, 0, 0], [1, 1, 0, 0]], jnp.float32)
+        loss = masked_frame_mse(pred, target, mask)
+        assert float(loss) == pytest.approx(1.0)
+
+    def test_velocity_loss_zero_for_equal(self):
+        x = jax.random.normal(jax.random.key(0), (2, 8, 6))
+        mask = jnp.ones((2, 8))
+        assert float(velocity_loss(x, x, mask)) == 0.0
+        assert float(acceleration_loss(x, x, mask)) == 0.0
+        assert float(progressive_loss(x, x, mask)) == 0.0
+
+    def test_velocity_detects_temporal_noise(self):
+        """Constant offset has zero velocity loss; frame-alternating noise
+        does not."""
+        x = jax.random.normal(jax.random.key(0), (1, 8, 6))
+        mask = jnp.ones((1, 8))
+        offset = x + 5.0
+        assert float(velocity_loss(offset, x, mask)) == pytest.approx(0.0, abs=1e-9)
+        jitter = x + jnp.arange(8.0)[None, :, None] % 2
+        assert float(velocity_loss(jitter, x, mask)) > 0.1
+
+    def test_structure_loss(self):
+        D = 1 + 2 + 1 + 3 * 3 + 3 * 6 + 4 * 3 + 4  # 4 joints -> 52
+        x = jax.random.normal(jax.random.key(0), (1, 6, D)) * 0.1
+        mask = jnp.ones((1, 6))
+        assert float(structure_loss(x, x, mask, 4)) == 0.0
+        y = x * 2.0
+        assert float(structure_loss(y, x, mask, 4)) > 0
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_config()
+        model = MotionTransformer(config=cfg.model)
+        sched = make_schedule(schedule_name="linear",
+                              num_timesteps=cfg.diffusion.num_timesteps)
+        # NOTE: the train step donates the state buffers (in-place param
+        # update on TPU), so each test builds a fresh state.
+        make_state = lambda: create_train_state(model, cfg, jax.random.key(0))
+        step = make_train_step(model, sched, cfg)
+        batch = {
+            "motion": jax.random.normal(jax.random.key(1), (4, 16, 26)) * 0.5,
+            "length": jnp.asarray([16, 12, 16, 9]),
+            "text_ids": jnp.ones((4, 8), jnp.int32),
+            "t": jnp.asarray([0, 10, 25, 49]),
+            "t_weight": jnp.ones((4,)),
+        }
+        return cfg, make_state, step, batch
+
+    def test_step_runs_and_updates(self, setup):
+        _, make_state, step, batch = setup
+        state = make_state()
+        params_before = jax.device_get(state.params)
+        new_state, metrics = step(state, batch, jax.random.key(2))
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss_total"]))
+        assert float(metrics["grad_norm"]) > 0
+        # params actually changed
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            params_before, jax.device_get(new_state.params))
+        assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    def test_loss_decreases_overfit_one_batch(self, setup):
+        """End-to-end: with a FIXED rng (same noise and t each step) the
+        denoiser memorizes the mapping and the loss falls fast."""
+        _, make_state, step, batch = setup
+        state = make_state()
+        k = jax.random.key(3)
+        first = None
+        last = None
+        for i in range(50):
+            state, metrics = step(state, batch, k)
+            if first is None:
+                first = float(metrics["loss_mot_rec"])
+            last = float(metrics["loss_mot_rec"])
+        assert last < first * 0.6, (first, last)
+
+    def test_advanced_losses_run(self):
+        cfg = tiny_config()
+        cfg = ExperimentConfig(
+            name=cfg.name, data=cfg.data, diffusion=cfg.diffusion,
+            model=cfg.model,
+            train=TrainConfig(batch_size=4, lr=1e-3, uncond_step=False,
+                              w_velocity=0.5, w_acceleration=0.25,
+                              w_structure=0.1, w_progressive=0.5))
+        model = MotionTransformer(config=cfg.model)
+        sched = make_schedule(schedule_name="linear", num_timesteps=50)
+        state = create_train_state(model, cfg, jax.random.key(0))
+        D = 26
+        step = make_train_step(model, sched, cfg,
+                               normalizer_stats=(np.zeros(D), np.ones(D)))
+        batch = {
+            "motion": jax.random.normal(jax.random.key(1), (4, 16, 26)) * 0.5,
+            "length": jnp.full((4,), 16),
+            "text_ids": jnp.ones((4, 8), jnp.int32),
+            "t": jnp.asarray([0, 10, 25, 49]),
+            "t_weight": jnp.ones((4,)),
+        }
+        _, metrics = step(state, batch, jax.random.key(2))
+        for k in ("loss_velocity", "loss_acceleration", "loss_structure",
+                  "loss_progressive"):
+            assert np.isfinite(float(metrics[k])), k
+
+
+class TestTrainerLoop:
+    def test_fit_runs_epochs(self, tmp_path):
+        cfg = tiny_config()
+        ds = SyntheticText2MotionDataset(cfg.data, size=8, seed=0)
+        loader = DataLoader(ds, batch_size=4, seed=0)
+        trainer = Trainer(cfg)
+        state = trainer.init_state()
+        cfg2 = ExperimentConfig(
+            name=cfg.name, data=cfg.data, diffusion=cfg.diffusion,
+            model=cfg.model,
+            train=TrainConfig(batch_size=4, num_epochs=2, lr=1e-3,
+                              uncond_step=True, log_every=2))
+        trainer.cfg = cfg2
+        state = trainer.fit(state, loader)
+        # 2 epochs x 2 batches x 2 steps (cond+uncond)
+        assert int(state.step) == 8
+
+    def test_loss_aware_sampler_integration(self):
+        cfg = tiny_config()
+        object.__setattr__(cfg.diffusion, "schedule_sampler", "loss-second-moment")
+        ds = SyntheticText2MotionDataset(cfg.data, size=4, seed=0)
+        loader = DataLoader(ds, batch_size=4, seed=0)
+        trainer = Trainer(cfg)
+        state = trainer.init_state()
+        state = trainer.fit(state, loader)
+        # history got updated
+        assert trainer.sampler._loss_counts.sum() > 0
+
+
+class TestDistributedSampler:
+    def test_equal_per_rank_counts(self):
+        for n in (10, 16, 7):
+            samplers = [DistributedSampler(n, num_replicas=4, rank=r)
+                        for r in range(4)]
+            counts = [len(list(iter(s))) for s in samplers]
+            assert len(set(counts)) == 1  # round-up padding -> equal
+
+    def test_all_indices_covered(self):
+        n = 10
+        seen = set()
+        for r in range(4):
+            s = DistributedSampler(n, num_replicas=4, rank=r, shuffle=False)
+            seen.update(iter(s))
+        assert seen == set(range(n))
+
+    def test_epoch_changes_order(self):
+        s = DistributedSampler(32, num_replicas=1, rank=0, shuffle=True)
+        s.set_epoch(0)
+        a = list(iter(s))
+        s.set_epoch(1)
+        b = list(iter(s))
+        assert a != b
+        s.set_epoch(0)
+        assert list(iter(s)) == a  # deterministic per epoch
+
+
+class TestDataset:
+    def test_synthetic_deterministic(self):
+        cfg = DataConfig(dim_pose=26, max_motion_length=16, min_motion_length=8)
+        ds = SyntheticText2MotionDataset(cfg, size=4, seed=1)
+        c1, m1, l1 = ds[2]
+        c2, m2, l2 = ds[2]
+        assert c1 == c2 and l1 == l2
+        np.testing.assert_array_equal(m1, m2)
+        assert m1.shape == (16, 26)
+        assert 8 <= l1 <= 16
+
+    def test_loader_shapes(self):
+        cfg = DataConfig(dim_pose=26, max_motion_length=16, min_motion_length=8)
+        ds = SyntheticText2MotionDataset(cfg, size=10, seed=1)
+        loader = DataLoader(ds, batch_size=4, drop_last=True)
+        batches = list(iter(loader))
+        assert len(batches) == len(loader)
+        captions, motions, lengths = batches[0]
+        assert motions.shape == (4, 16, 26)
+        assert motions.dtype == np.float32
+        assert lengths.dtype == np.int32
+        assert len(captions) == 4
