@@ -61,6 +61,7 @@ class FastAttention(nn.Module):
     head_dim: int
     num_features: int = 256
     eps: float = 1e-6
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,34 +81,25 @@ class FastAttention(nn.Module):
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
         k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
 
-        # exp feature map in float32 (bf16-unsafe)
-        qf = q.astype(jnp.float32)
-        kf = k.astype(jnp.float32)
-        proj32 = projection.astype(jnp.float32)
-        q_proj = jnp.exp(jnp.clip(jnp.einsum("bhtn,nm->bhtm", qf, proj32),
-                                  -15, 15)) * 0.1
-        k_proj = jnp.exp(jnp.clip(jnp.einsum("bhtn,nm->bhtm", kf, proj32),
-                                  -15, 15)) * 0.1
-
         if mask is not None:
-            m = mask.astype(q_proj.dtype)
+            m = mask.astype(jnp.float32)
             if m.ndim == 3 and m.shape[-1] == 1:   # [B, T, 1] -> [B, 1, T]
                 m = jnp.swapaxes(m, 1, 2)
-            k_proj = k_proj * m[..., None]
+        else:
+            m = None
 
-        vf = v.astype(jnp.float32)
-        kv = jnp.einsum("bhtm,bhtn->bhmn", k_proj, vf) * 0.1
-        qkv = jnp.einsum("bhtm,bhmn->bhtn", q_proj, kv) * 0.1
+        # fused FAVOR+ core: exp feature maps (f32, clamp +-15, 0.1 scales),
+        # kv/qkv contractions, and the reference-quirk SAME-POSITION
+        # denominator (fast_attention.py:58-92) in one Pallas kernel on TPU
+        # (pure-JAX math elsewhere; identical numerics either way).
+        from motiondiffusion_moe_tpu.ops.performer_pallas import (
+            favor_attention, favor_attention_reference)
 
-        # NOTE reference quirk (fast_attention.py:84-87): the denominator is
-        # the SAME-POSITION product q_proj[t]·k_proj[t], not the FAVOR+
-        # sum over all positions. Matched verbatim — training behavior
-        # depends on it.
-        denominator = jnp.einsum("bhtm,bhtm->bht", q_proj, k_proj)[..., None]
-        denominator = jnp.maximum(denominator, self.eps)
-
-        output = (qkv / denominator).astype(self.dtype)
-        return norm(output)
+        fn = favor_attention if self.use_pallas else favor_attention_reference
+        output = fn(q.astype(jnp.float32), k.astype(jnp.float32),
+                    v.astype(jnp.float32), projection.astype(jnp.float32),
+                    m, self.eps)
+        return norm(output.astype(self.dtype))
 
 
 class PerformerSelfAttention(nn.Module):

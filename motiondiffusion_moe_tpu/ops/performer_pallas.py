@@ -1,0 +1,137 @@
+"""Fused FAVOR+ (Performer) attention core as a Pallas TPU kernel.
+
+The hot inner op of the denoiser's self-attention
+(``text2motion/models/fast_attention.py:58-92``): exp feature maps of q and
+k, the kv and qkv einsums, and the (reference-quirk, same-position)
+denominator — fused into ONE kernel so the [T, m] feature maps never round-
+trip through HBM. Numerics match
+:class:`motiondiffusion_moe_tpu.models.attention.FastAttention`'s inner math
+exactly (0.1 scalings, +-15 clamp, float32 feature maps).
+
+Training uses a custom VJP whose backward differentiates the pure-JAX
+reference implementation (one recompute; simple and exactly consistent),
+while the forward runs the fused kernel.
+
+Grid: one program per (batch*head). Blocks: full [T, D]/[T, m] panels in
+VMEM — at the flagship shape (T=196->pad 256, D=128, m=256) that is
+~0.6 MB, far under the ~16 MB VMEM budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def favor_attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                              projection: jnp.ndarray,
+                              mask: Optional[jnp.ndarray] = None,
+                              eps: float = 1e-6) -> jnp.ndarray:
+    """Pure-JAX reference (the math inside FastAttention after the norms,
+    ``fast_attention.py:58-92``). q,k,v: [B, H, T, D]; projection: [D, m];
+    mask: [B, 1, T] or None. float32 in, float32 out."""
+    q_proj = jnp.exp(jnp.clip(jnp.einsum("bhtn,nm->bhtm", q, projection),
+                              -15, 15)) * 0.1
+    k_proj = jnp.exp(jnp.clip(jnp.einsum("bhtn,nm->bhtm", k, projection),
+                              -15, 15)) * 0.1
+    if mask is not None:
+        k_proj = k_proj * mask[..., None]
+    kv = jnp.einsum("bhtm,bhtn->bhmn", k_proj, v) * 0.1
+    qkv = jnp.einsum("bhtm,bhmn->bhtn", q_proj, kv) * 0.1
+    denominator = jnp.einsum("bhtm,bhtm->bht", q_proj, k_proj)[..., None]
+    return qkv / jnp.maximum(denominator, eps)
+
+
+def _favor_kernel(q_ref, k_ref, v_ref, proj_ref, mask_ref, out_ref, *,
+                  eps: float):
+    q = q_ref[0]        # [T, D]
+    k = k_ref[0]
+    v = v_ref[0]
+    proj = proj_ref[:]  # [D, m]
+
+    q_proj = jnp.exp(jnp.clip(
+        jnp.dot(q, proj, preferred_element_type=jnp.float32), -15, 15)) * 0.1
+    k_proj = jnp.exp(jnp.clip(
+        jnp.dot(k, proj, preferred_element_type=jnp.float32), -15, 15)) * 0.1
+    k_proj = k_proj * mask_ref[0]   # [T, 1] broadcast
+
+    kv = jnp.dot(k_proj.T, v, preferred_element_type=jnp.float32) * 0.1
+    qkv = jnp.dot(q_proj, kv, preferred_element_type=jnp.float32) * 0.1
+    denominator = jnp.sum(q_proj * k_proj, axis=-1, keepdims=True)
+    out_ref[0] = qkv / jnp.maximum(denominator, eps)
+
+
+def _favor_pallas(q, k, v, projection, mask, eps: float):
+    B, H, T, D = q.shape
+    m = projection.shape[1]
+    qf = q.reshape(B * H, T, D).astype(jnp.float32)
+    kf = k.reshape(B * H, T, D).astype(jnp.float32)
+    vf = v.reshape(B * H, T, D).astype(jnp.float32)
+    if mask is None:
+        maskf = jnp.ones((B, 1, T), jnp.float32)
+    else:
+        maskf = mask.astype(jnp.float32)
+    # [B, 1, T] -> [B*H, T, 1]
+    maskf = jnp.broadcast_to(maskf[:, None, 0, :], (B, H, T))
+    maskf = maskf.reshape(B * H, T, 1)
+
+    grid = (B * H,)
+    out = pl.pallas_call(
+        functools.partial(_favor_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, T, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * (2 * T * D * m + T * m * D + m * T * D),
+            bytes_accessed=4 * B * H * T * D * 4 + 4 * D * m,
+            transcendentals=2 * B * H * T * m,
+        ),
+    )(qf, kf, vf, projection.astype(jnp.float32), maskf)
+    return out.reshape(B, H, T, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def favor_attention(q, k, v, projection, mask=None, eps: float = 1e-6):
+    """Fused FAVOR+ core. Same signature/semantics as
+    :func:`favor_attention_reference`; forward runs the Pallas kernel on
+    TPU (pure-JAX elsewhere), backward differentiates the reference."""
+    if jax.default_backend() == "tpu":
+        return _favor_pallas(q, k, v, projection, mask, eps)
+    return favor_attention_reference(q, k, v, projection, mask, eps)
+
+
+def _favor_fwd(q, k, v, projection, mask, eps):
+    out = favor_attention(q, k, v, projection, mask, eps)
+    return out, (q, k, v, projection, mask)
+
+
+def _favor_bwd(eps, residuals, g):
+    q, k, v, projection, mask = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, p_: favor_attention_reference(q_, k_, v_, p_,
+                                                         mask, eps),
+        q, k, v, projection)
+    dq, dk, dv, dp = vjp(g)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dq, dk, dv, dp, dmask
+
+
+favor_attention.defvjp(_favor_fwd, _favor_bwd)
