@@ -1,0 +1,186 @@
+"""Evaluation CLI.
+
+Capability match of ``text2motion/tools/evaluation.py``:
+
+    python -m motiondiffusion_moe_tpu.tools.evaluate \
+        --run_dir ./checkpoints/t2m_moe_small [--dataset synthetic] \
+        [--evaluator_ckpt path/to/finest.tar] [--glove_dir ./glove] \
+        [--replication_times 20] [--sampler ddim --steps 50]
+
+Replaces the reference's hardcoded cluster paths
+(``datasets1/evaluator.py:24,175,183,322-329``) with flags. Without the
+released ``finest.tar`` evaluator weights the metrics are computed with a
+random-init evaluator (pipeline-valid, numbers not comparable) and the log
+says so.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List
+
+import numpy as np
+
+
+def build_eval_samples(dataset, max_samples: int = 0) -> List["EvalSample"]:
+    """EvalSamples (caption + tokens + GT motion) from a Text2MotionDataset
+    (uses the dataset's parsed annotations, mirroring eval_mode=True,
+    ``dataset1.py:143-163``)."""
+    from motiondiffusion_moe_tpu.eval import EvalSample
+
+    samples = []
+    names = dataset.name_list[:max_samples] if max_samples else dataset.name_list
+    for name in names:
+        entry = dataset.data_dict[name]
+        ann = entry["text"][0]
+        motion = entry["motion"]
+        m_length = entry["length"]
+        max_len = dataset.cfg.max_motion_length
+        if m_length > max_len:
+            motion = motion[:max_len]
+            m_length = max_len
+        padded = np.zeros((max_len, motion.shape[1]), np.float32)
+        padded[:m_length] = dataset.normalizer.normalize_np(motion[:m_length])
+        samples.append(EvalSample(caption=ann.caption, tokens=list(ann.tokens),
+                                  motion=padded, m_length=int(m_length)))
+    return samples
+
+
+def build_synthetic_eval_samples(cfg, n: int = 64, seed: int = 0
+                                 ) -> List["EvalSample"]:
+    from motiondiffusion_moe_tpu.data import SyntheticText2MotionDataset
+    from motiondiffusion_moe_tpu.eval import EvalSample
+
+    ds = SyntheticText2MotionDataset(cfg.data, size=n, seed=seed)
+    samples = []
+    for i in range(n):
+        caption, motion, m_length = ds[i]
+        tokens = [f"{w}/OTHER" for w in caption.split()]
+        samples.append(EvalSample(caption=caption, tokens=tokens,
+                                  motion=motion, m_length=m_length))
+    return samples
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--dataset", default="real", choices=["real", "synthetic"])
+    p.add_argument("--split", default="test")
+    p.add_argument("--evaluator_ckpt", default="",
+                   help="path to released finest.tar (FID backbone weights)")
+    p.add_argument("--glove_dir", default="./glove")
+    p.add_argument("--log_file", default="")
+    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--steps", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--replication_times", type=int, default=20)
+    p.add_argument("--mm_num_samples", type=int, default=100)
+    p.add_argument("--mm_num_repeats", type=int, default=30)
+    p.add_argument("--mm_num_times", type=int, default=10)
+    p.add_argument("--diversity_times", type=int, default=300)
+    p.add_argument("--max_samples", type=int, default=0,
+                   help="cap the eval set size (0 = all)")
+    p.add_argument("--skip_joint_scores", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from motiondiffusion_moe_tpu.config import ExperimentConfig
+    from motiondiffusion_moe_tpu.data import MotionNormalizer, Text2MotionDataset
+    from motiondiffusion_moe_tpu.eval import (
+        EvaluatorModelWrapper, ProtocolConfig, evaluation,
+        get_word_vectorizer, score_mae_velocity_jerk)
+    from motiondiffusion_moe_tpu.eval.word_vectorizer import HashedWordVectorizer
+    from motiondiffusion_moe_tpu.motion import recover_from_ric
+    from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
+    from motiondiffusion_moe_tpu.training import CheckpointManager, Trainer
+
+    cfg = ExperimentConfig.load(os.path.join(args.run_dir, "config.json"))
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    ckpt = CheckpointManager(os.path.join(args.run_dir, "ckpt"))
+    restored = ckpt.restore(state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint in {args.run_dir}/ckpt")
+    state, _ = restored
+    print(f"[evaluate] restored step {int(state.step)}")
+
+    meta = os.path.join(args.run_dir, "meta")
+    normalizer = (MotionNormalizer.load(meta) if os.path.exists(meta)
+                  else MotionNormalizer.identity(cfg.data.dim_pose))
+
+    if args.dataset == "synthetic":
+        samples = build_synthetic_eval_samples(cfg,
+                                               n=args.max_samples or 64)
+    else:
+        ds = Text2MotionDataset(cfg.data, split=args.split,
+                                normalizer=normalizer)
+        samples = build_eval_samples(ds, args.max_samples)
+    print(f"[evaluate] {len(samples)} eval samples")
+
+    pipe = GenerationPipeline(cfg, trainer.model, state.params,
+                              sampler=args.sampler,
+                              num_inference_steps=args.steps or None,
+                              micro_batch=args.batch_size)
+
+    def generate(captions, lens, seed):
+        return pipe.generate(captions, lens, rng=jax.random.key(seed))
+
+    if args.evaluator_ckpt:
+        wrapper = EvaluatorModelWrapper.from_torch_checkpoint(
+            args.evaluator_ckpt, dim_pose=cfg.data.dim_pose,
+            unit_length=cfg.data.unit_length)
+        print("[evaluate] loaded evaluator weights from "
+              f"{args.evaluator_ckpt}")
+    else:
+        wrapper = EvaluatorModelWrapper(dim_pose=cfg.data.dim_pose,
+                                        unit_length=cfg.data.unit_length)
+        print("[evaluate] WARNING: random-init evaluator (no finest.tar) — "
+              "metric VALUES are not comparable to published numbers")
+
+    wv = get_word_vectorizer(args.glove_dir)
+    if isinstance(wv, HashedWordVectorizer):
+        print("[evaluate] WARNING: GloVe files not found — hashed word "
+              "vectors in use")
+
+    log_file = args.log_file or os.path.join(args.run_dir, "evaluation.log")
+    pcfg = ProtocolConfig(
+        mm_num_samples=args.mm_num_samples,
+        mm_num_repeats=args.mm_num_repeats,
+        mm_num_times=args.mm_num_times,
+        diversity_times=args.diversity_times,
+        replication_times=args.replication_times,
+        batch_size=args.batch_size,
+        unit_length=cfg.data.unit_length,
+        max_motion_length=cfg.data.max_motion_length,
+        max_text_len=cfg.data.max_text_len)
+    summary = evaluation(samples, generate, wrapper, wv, log_file, pcfg,
+                         model_name=cfg.name)
+
+    if not args.skip_joint_scores:
+        # MAE / velocity / jerk in joint space (tools/evaluation.py:47-140)
+        n = min(len(samples), 32)
+        caps = [s.caption for s in samples[:n]]
+        lens = [s.m_length for s in samples[:n]]
+        outs = generate(caps, lens, 12345)
+        T = cfg.data.max_motion_length
+        D = cfg.data.dim_pose
+        pred = np.zeros((n, T, D), np.float32)
+        orig = np.zeros((n, T, D), np.float32)
+        for i, (o, s) in enumerate(zip(outs, samples[:n])):
+            pred[i, :o.shape[0]] = o[:T]
+            orig[i] = s.motion
+        pred = normalizer.denormalize_np(pred)
+        orig = normalizer.denormalize_np(orig)
+        pj = np.asarray(recover_from_ric(pred, cfg.data.num_joints))
+        oj = np.asarray(recover_from_ric(orig, cfg.data.num_joints))
+        mae, vel, jerk, _ = score_mae_velocity_jerk(pj, oj)
+        print(f"[evaluate] MAE={mae.mean():.4f} velocity_err={vel:.4f} "
+              f"jerk_err={jerk:.4f}")
+
+    print(f"[evaluate] log -> {log_file}")
+
+
+if __name__ == "__main__":
+    main()
