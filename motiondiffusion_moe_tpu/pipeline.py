@@ -46,7 +46,7 @@ class GenerationPipeline:
                  model: Optional[MotionTransformer] = None,
                  params=None,
                  *,
-                 sampler: str = "ddpm",          # "ddpm" | "ddim"
+                 sampler: str = "ddpm",          # "ddpm" | "ddim" | "dpm"
                  num_inference_steps: Optional[int] = None,  # None = all T
                  eta: float = 0.0,
                  micro_batch: int = 8):
@@ -63,7 +63,12 @@ class GenerationPipeline:
 
         base = make_schedule(schedule_name=cfg.diffusion.beta_schedule,
                              num_timesteps=cfg.diffusion.num_timesteps)
-        if num_inference_steps and num_inference_steps < cfg.diffusion.num_timesteps:
+        self.num_inference_steps = num_inference_steps
+        if sampler == "dpm":
+            # DPM-Solver++ selects its own timesteps on the full schedule
+            self.sched = base
+            self.timestep_map = None
+        elif num_inference_steps and num_inference_steps < cfg.diffusion.num_timesteps:
             self.sched, tmap = respace_schedule(
                 np.asarray(base.betas, dtype=np.float64),
                 space_timesteps(cfg.diffusion.num_timesteps,
@@ -87,6 +92,8 @@ class GenerationPipeline:
         T = self.cfg.model.max_frames
         D = self.cfg.model.input_feats
         use_ddim = self.sampler == "ddim"
+        use_dpm = self.sampler == "dpm"
+        dpm_steps = self.num_inference_steps or 10
         eta = 0.0
 
         def fn(params, ids_c, ids_u, lengths, rng):
@@ -107,6 +114,14 @@ class GenerationPipeline:
 
             noise_key, loop_key = jax.random.split(rng)
             noise = jax.random.normal(noise_key, (B, T, D))
+            if use_dpm:
+                from motiondiffusion_moe_tpu.diffusion.dpm_solver import (
+                    dpm_solver_pp_2m)
+
+                return dpm_solver_pp_2m(
+                    sched, model_doubled, noise, num_steps=dpm_steps,
+                    guidance_scale=guidance, mean_type=mean_type,
+                    var_type=var_type, clip_denoised=clip)
             if use_ddim:
                 return ddim_sample_loop(
                     sched, model_doubled, noise, loop_key, eta=eta,

@@ -71,7 +71,7 @@ def main(argv=None) -> None:
                    help="path to released finest.tar (FID backbone weights)")
     p.add_argument("--glove_dir", default="./glove")
     p.add_argument("--log_file", default="")
-    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpm"])
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--replication_times", type=int, default=20)

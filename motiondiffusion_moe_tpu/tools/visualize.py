@@ -25,7 +25,7 @@ def main(argv=None) -> None:
                    help="frames at 20 fps, <= 196 (visualization.py:47-57)")
     p.add_argument("--result_path", default="test_sample.gif")
     p.add_argument("--npy_path", default="")
-    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpm"])
     p.add_argument("--steps", type=int, default=0,
                    help="DDIM steps (0 = full schedule)")
     p.add_argument("--seed", type=int, default=0)

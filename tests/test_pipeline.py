@@ -64,6 +64,14 @@ class TestGenerationPipeline:
         outs = pipe.generate(["walk"], [16], rng=jax.random.key(0))
         assert outs[0].shape == (16, 26)
 
+    def test_dpm_sampler(self, trained):
+        cfg, model, state = trained
+        pipe = GenerationPipeline(cfg, model, state.params, sampler="dpm",
+                                  num_inference_steps=5, micro_batch=1)
+        outs = pipe.generate(["walk"], [16], rng=jax.random.key(0))
+        assert outs[0].shape == (16, 26)
+        assert np.isfinite(outs[0]).all()
+
     def test_micro_batch_padding(self, trained):
         """3 prompts with micro_batch=2: tail chunk padded, one compiled
         shape, 3 outputs."""
