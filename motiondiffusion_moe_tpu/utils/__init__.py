@@ -1,1 +1,8 @@
 from motiondiffusion_moe_tpu.utils.logging import MetricsLogger, print_current_loss  # noqa: F401
+from motiondiffusion_moe_tpu.utils.profiling import StepTimer, annotate, trace  # noqa: F401
+from motiondiffusion_moe_tpu.utils.debugging import (  # noqa: F401
+    assert_finite_tree,
+    check_finite,
+    checked,
+    enable_nan_debugging,
+)
