@@ -74,14 +74,20 @@ def ddpm_step(sched: DiffusionSchedule, model_out: jnp.ndarray, x: jnp.ndarray,
               t: jnp.ndarray, z: jnp.ndarray, *,
               mean_type: ModelMeanType = ModelMeanType.EPSILON,
               var_type: ModelVarType = ModelVarType.FIXED_SMALL,
-              clip_denoised: bool = False) -> jnp.ndarray:
+              clip_denoised: bool = False,
+              cond_fn=None) -> jnp.ndarray:
     """One ancestral step x_t -> x_{t-1} given the model output and noise z.
 
     Mirrors ``p_sample`` (``gaussian_diffusion.py:582-614``): noise is masked
-    out at t=0.
+    out at t=0; optional classifier guidance via ``cond_fn`` (condition_mean,
+    ``:607-610``).
     """
     out = p_mean_variance(sched, model_out, x, t, mean_type=mean_type,
                           var_type=var_type, clip_denoised=clip_denoised)
+    if cond_fn is not None:
+        from motiondiffusion_moe_tpu.diffusion.guidance import condition_mean
+
+        out["mean"] = condition_mean(cond_fn, out, x, t)
     return out["mean"] + _nonzero_mask(t, x) * jnp.exp(0.5 * out["log_variance"]) * z
 
 
@@ -130,8 +136,10 @@ def ddpm_sample_loop(sched: DiffusionSchedule,
                      var_type: ModelVarType = ModelVarType.FIXED_SMALL,
                      clip_denoised: bool = False,
                      timestep_map: Optional[jnp.ndarray] = None,
+                     cond_fn=None,
                      ) -> jnp.ndarray:
-    """Ancestral DDPM loop as one lax.scan (``gaussian_diffusion.py:616-693``)."""
+    """Ancestral DDPM loop as one lax.scan (``gaussian_diffusion.py:616-693``);
+    optional classifier guidance via ``cond_fn(x, t) -> grad``."""
     num_steps = sched.num_timesteps
     batch = noise.shape[0]
 
@@ -141,7 +149,8 @@ def ddpm_sample_loop(sched: DiffusionSchedule,
         model_out = model_fn(x, _map_t(timestep_map, t))
         z = jax.random.normal(key, x.shape, dtype=x.dtype)
         x_next = ddpm_step(sched, model_out, x, t, z, mean_type=mean_type,
-                           var_type=var_type, clip_denoised=clip_denoised)
+                           var_type=var_type, clip_denoised=clip_denoised,
+                           cond_fn=cond_fn)
         return x_next, None
 
     ts = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
@@ -198,9 +207,12 @@ def ddim_sample_loop(sched: DiffusionSchedule,
                      var_type: ModelVarType = ModelVarType.FIXED_SMALL,
                      clip_denoised: bool = False,
                      timestep_map: Optional[jnp.ndarray] = None,
+                     cond_fn=None,
                      ) -> jnp.ndarray:
     """DDIM loop as one lax.scan (``gaussian_diffusion.py:699-818``) with
-    optional respacing and optional doubled-batch CFG.
+    optional respacing, optional doubled-batch CFG, and optional classifier
+    guidance (``cond_fn``, via condition_score as the reference's
+    ddim_sample does, ``:719-722``).
 
     When ``guidance_scale`` is set, ``model_fn`` must be a doubled-batch
     model (see :func:`cfg_model_fn`) and guidance is applied in x0-space
@@ -226,6 +238,11 @@ def ddim_sample_loop(sched: DiffusionSchedule,
             model_out = model_fn(x, t_model)
             out = p_mean_variance(sched, model_out, x, t, mean_type=mean_type,
                                   var_type=var_type, clip_denoised=clip_denoised)
+            if cond_fn is not None:
+                from motiondiffusion_moe_tpu.diffusion.guidance import (
+                    condition_score)
+
+                out = condition_score(sched, cond_fn, out, x, t)
             pred_xstart = out["pred_xstart"]
 
         z = jax.random.normal(key, x.shape, dtype=x.dtype)

@@ -107,9 +107,12 @@ def flash_cross_attention(q, k, v, scale: Optional[float] = None,
     them unmasked, ``fast_attention.py:301-330``)."""
     D = q.shape[-1]
     s = scale if scale is not None else D ** -0.5
-    if jax.default_backend() == "tpu":
-        return _flash_pallas(q, k, v, s, block_q, block_n)
-    return cross_attention_reference(q, k, v, None, s)
+    return jax.lax.platform_dependent(
+        q, k, v,
+        tpu=lambda q_, k_, v_: _flash_pallas(q_, k_, v_, s, block_q, block_n),
+        default=lambda q_, k_, v_: cross_attention_reference(q_, k_, v_,
+                                                             None, s),
+    )
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_n):

@@ -111,11 +111,16 @@ def _favor_pallas(q, k, v, projection, mask, eps: float):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def favor_attention(q, k, v, projection, mask=None, eps: float = 1e-6):
     """Fused FAVOR+ core. Same signature/semantics as
-    :func:`favor_attention_reference`; forward runs the Pallas kernel on
-    TPU (pure-JAX elsewhere), backward differentiates the reference."""
-    if jax.default_backend() == "tpu":
-        return _favor_pallas(q, k, v, projection, mask, eps)
-    return favor_attention_reference(q, k, v, projection, mask, eps)
+    :func:`favor_attention_reference`; forward runs the Pallas kernel when
+    lowered for TPU (pure-JAX on other platforms — dispatched per lowering
+    platform, so `with jax.default_device(cpu)` regions work), backward
+    differentiates the reference."""
+    return jax.lax.platform_dependent(
+        q, k, v, projection, mask,
+        tpu=lambda q_, k_, v_, p_, m_: _favor_pallas(q_, k_, v_, p_, m_, eps),
+        default=lambda q_, k_, v_, p_, m_: favor_attention_reference(
+            q_, k_, v_, p_, m_, eps),
+    )
 
 
 def _favor_fwd(q, k, v, projection, mask, eps):
