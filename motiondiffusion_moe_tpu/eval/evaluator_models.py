@@ -226,6 +226,189 @@ class MotionLenEstimatorBiGRU(nn.Module):
         return nn.Dense(self.output_size, name="output_9")(h)
 
 
+class MovementConvDecoder(nn.Module):
+    """Transposed-conv movement decoder (``evaluator_models.py:101-120``):
+    two stride-2 k=4 p=1 deconvs with LeakyReLU, then Linear — inverts
+    MovementConvEncoder's /4 temporal compression."""
+
+    hidden_size: int
+    output_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # SAME padding = exact 2x upsampling, matching torch's
+        # ConvTranspose1d(k=4, s=2, p=1) output length
+        h = nn.ConvTranspose(self.hidden_size, kernel_size=(4,), strides=(2,),
+                             padding="SAME", name="deconv1")(x)
+        h = leaky_relu(h)
+        h = nn.ConvTranspose(self.output_size, kernel_size=(4,), strides=(2,),
+                             padding="SAME", name="deconv2")(h)
+        h = leaky_relu(h)
+        return nn.Dense(self.output_size, name="out_net")(h)
+
+
+def positional_encoding_table(max_len: int, d_model: int) -> jnp.ndarray:
+    """Fixed sinusoidal table (``evaluator_models.py:63-77``)."""
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float32)
+                      * (-np.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return jnp.asarray(pe)
+
+
+def reparameterize(rng: jax.Array, mu: jnp.ndarray,
+                   logvar: jnp.ndarray) -> jnp.ndarray:
+    """VAE reparameterization (``evaluator_models.py:35-38``)."""
+    std = jnp.exp(0.5 * logvar)
+    return mu + std * jax.random.normal(rng, mu.shape, mu.dtype)
+
+
+class TextVAEDecoder(nn.Module):
+    """Autoregressive pose decoder cell (``evaluator_models.py:123-185``):
+    per-frame input embedding + positional encoding through n stacked
+    GRUCells; ``get_init_hidden`` seeds the stack from the text latent.
+
+    Functional API: ``apply(..., method=...)`` with explicit hidden-state
+    lists (the torch version mutates them in place)."""
+
+    text_size: int
+    input_size: int
+    output_size: int
+    hidden_size: int
+    n_layers: int
+    max_len: int = 300
+
+    def setup(self):
+        self.emb_dense = nn.Dense(self.hidden_size)
+        self.emb_norm = nn.LayerNorm()
+        self.z2init = nn.Dense(self.hidden_size * self.n_layers)
+        self.cells = [_GRUCellParams(hidden_size=self.hidden_size,
+                                     name=f"gru_{i}")
+                      for i in range(self.n_layers)]
+        self.out_0 = nn.Dense(self.hidden_size)
+        self.out_norm = nn.LayerNorm()
+        self.out_1 = nn.Dense(self.output_size)
+        self.pe = positional_encoding_table(self.max_len, self.hidden_size)
+
+    def get_init_hidden(self, latent: jnp.ndarray):
+        hidden = self.z2init(latent)
+        return list(jnp.split(hidden, self.n_layers, axis=-1))
+
+    def __call__(self, inputs: jnp.ndarray, hidden, p: jnp.ndarray):
+        h_in = leaky_relu(self.emb_norm(self.emb_dense(inputs)))
+        h_in = h_in + self.pe[p]
+        new_hidden = []
+        for i in range(self.n_layers):
+            h = self.cells[i](hidden[i], h_in)
+            new_hidden.append(h)
+            h_in = h
+        pose = self.out_1(leaky_relu(self.out_norm(self.out_0(h_in))))
+        return pose, new_hidden
+
+
+class TextDecoder(nn.Module):
+    """Text-conditioned latent sampler cell (``evaluator_models.py:
+    188-232``): GRUCell stack emitting (z, mu, logvar)."""
+
+    text_size: int
+    input_size: int
+    output_size: int
+    hidden_size: int
+    n_layers: int
+    max_len: int = 300
+
+    def setup(self):
+        self.emb_dense = nn.Dense(self.hidden_size)
+        self.emb_norm = nn.LayerNorm()
+        self.z2init = nn.Dense(self.hidden_size * self.n_layers)
+        self.cells = [_GRUCellParams(hidden_size=self.hidden_size,
+                                     name=f"gru_{i}")
+                      for i in range(self.n_layers)]
+        self.mu_net = nn.Dense(self.output_size)
+        self.logvar_net = nn.Dense(self.output_size)
+        self.pe = positional_encoding_table(self.max_len, self.hidden_size)
+
+    def get_init_hidden(self, latent: jnp.ndarray):
+        hidden = self.z2init(latent)
+        return list(jnp.split(hidden, self.n_layers, axis=-1))
+
+    def __call__(self, inputs: jnp.ndarray, hidden, p: jnp.ndarray,
+                 rng: jax.Array):
+        x_in = leaky_relu(self.emb_norm(self.emb_dense(inputs)))
+        x_in = x_in + self.pe[p]
+        new_hidden = []
+        h = x_in
+        for i in range(self.n_layers):
+            h = self.cells[i](hidden[i], x_in)
+            new_hidden.append(h)
+            x_in = h
+        mu = self.mu_net(h)
+        logvar = self.logvar_net(h)
+        z = reparameterize(rng, mu, logvar)
+        return z, mu, logvar, new_hidden
+
+
+class _GRUCellParams(nn.Module):
+    """torch.nn.GRUCell-parameterized cell (reuses gru_cell_step math)."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        H = self.hidden_size
+        params = {
+            "w_ih": self.param("w_ih", nn.initializers.lecun_normal(),
+                               (3 * H, x.shape[-1])),
+            "w_hh": self.param("w_hh", nn.initializers.lecun_normal(),
+                               (3 * H, H)),
+            "b_ih": self.param("b_ih", nn.initializers.zeros, (3 * H,)),
+            "b_hh": self.param("b_hh", nn.initializers.zeros, (3 * H,)),
+        }
+        return gru_cell_step(params, h, x)
+
+
+class AttLayer(nn.Module):
+    """Single-query additive attention (``evaluator_models.py:234-265``)."""
+
+    value_dim: int
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, key_mat: jnp.ndarray):
+        q = nn.Dense(self.value_dim, name="W_q")(query)[..., None]  # [B,V,1]
+        v = nn.Dense(self.value_dim, name="W_v")(key_mat)           # [B,S,V]
+        k = nn.Dense(self.value_dim, use_bias=False, name="W_k")(key_mat)
+        weights = jnp.matmul(k, q) / jnp.sqrt(float(self.value_dim))
+        co_weights = jax.nn.softmax(weights, axis=1)                # [B,S,1]
+        pred = (v * co_weights).sum(axis=1)
+        return pred, co_weights
+
+
+class TextEncoderBiGRU(nn.Module):
+    """Sequence-output BiGRU text encoder (``evaluator_models.py:268-309``):
+    returns (per-token fwd||bwd-aligned states, final hidden)."""
+
+    hidden_size: int = 512
+
+    @nn.compact
+    def __call__(self, word_embs: jnp.ndarray, pos_onehot: jnp.ndarray,
+                 cap_lens: jnp.ndarray):
+        B = word_embs.shape[0]
+        pos_embs = nn.Dense(word_embs.shape[-1], name="pos_emb")(pos_onehot)
+        input_embs = nn.Dense(self.hidden_size, name="input_emb")(
+            word_embs + pos_embs)
+        h0 = self.param("hidden", nn.initializers.normal(1.0),
+                        (2, 1, self.hidden_size))
+        h0 = jnp.broadcast_to(h0, (2, B, self.hidden_size))
+        # MaskedBiGRU already returns the backward stream re-aligned to
+        # frame order — the manual flip loop at evaluator_models.py:300-306
+        # is built in
+        seq, last = MaskedBiGRU(hidden_size=self.hidden_size,
+                                name="gru")(input_embs, cap_lens, h0)
+        return seq, last
+
+
 def contrastive_loss(output1: jnp.ndarray, output2: jnp.ndarray,
                      label: jnp.ndarray, margin: float = 3.0) -> jnp.ndarray:
     """Hadsell-Chopra-LeCun contrastive loss
