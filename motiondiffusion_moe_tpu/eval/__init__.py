@@ -27,6 +27,7 @@ from motiondiffusion_moe_tpu.eval.protocol import (  # noqa: F401
     build_generated_samples,
     make_batches,
     snap_length,
+    snap_length_random,
 )
 from motiondiffusion_moe_tpu.eval.metrics import (  # noqa: F401
     euclidean_distance_matrix,

@@ -101,6 +101,22 @@ def snap_length(m_len: int, unit_length: int = 4, min_mov_length: int = 10,
                        min_mov_length * unit_length), max_motion_length))
 
 
+def snap_length_random(m_len: int, unit_length: int = 4,
+                       rng: Optional[np.random.Generator] = None) -> int:
+    """The GT eval dataset's stochastic unit-length snapping
+    (``datasets1/evaluator.py:283-294``): 2/3 probability floor to the unit
+    ('single'), 1/3 probability one unit shorter ('double'); always 'single'
+    when unit_length >= 10."""
+    rng = rng or np.random.default_rng()
+    if unit_length < 10:
+        coin2 = rng.choice(["single", "single", "double"])
+    else:
+        coin2 = "single"
+    if coin2 == "double":
+        return (m_len // unit_length - 1) * unit_length
+    return (m_len // unit_length) * unit_length
+
+
 # GenerateFn(captions, m_lens, seed) -> list of [len_i, D] arrays
 GenerateFn = Callable[[List[str], List[int], int], List[np.ndarray]]
 

@@ -6,3 +6,10 @@ from motiondiffusion_moe_tpu.utils.debugging import (  # noqa: F401
     checked,
     enable_nan_debugging,
 )
+from motiondiffusion_moe_tpu.utils.media import (  # noqa: F401
+    compose_gif_img_list,
+    compose_image,
+    compose_and_save_img,
+    save_images,
+    list_cut_average,
+)
