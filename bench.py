@@ -42,6 +42,9 @@ def _run():
     import jax
     import jax.numpy as jnp
 
+    from motiondiffusion_moe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from motiondiffusion_moe_tpu.config import ExperimentConfig
     from motiondiffusion_moe_tpu.models import MotionTransformer
     from motiondiffusion_moe_tpu.pipeline import GenerationPipeline

@@ -170,12 +170,17 @@ class MotionTransformer(nn.Module):
     def _run_blocks(self, blocks, h, xf, emb, src_mask, deterministic):
         for i, block in enumerate(blocks):
             p = float(self.survival_probs[i])
-            fn = lambda t, b=block: b(t, xf, emb, src_mask, deterministic)
+            out = block(h, xf, emb, src_mask, deterministic)
             if deterministic or p >= 1.0:
-                h = fn(h)
+                h = out
             else:
+                # Branchless stochastic depth: compute the block and SELECT
+                # (time.py:41-48 semantics — whole-batch coin, no rescale).
+                # lax.cond would skip the dropped block's FLOPs but cannot
+                # carry flax `sow` side effects (MoE aux losses) out of the
+                # branch without leaking tracers.
                 keep = jax.random.bernoulli(self.make_rng("stochdepth"), p)
-                h = jax.lax.cond(keep, fn, lambda t: t, h)
+                h = jnp.where(keep, out, h)
         return h
 
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,

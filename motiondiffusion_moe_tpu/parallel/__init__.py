@@ -5,3 +5,12 @@ from motiondiffusion_moe_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     make_sharded_train_step,
 )
+from motiondiffusion_moe_tpu.parallel.moe_parallel import (  # noqa: F401
+    ep_moe_ffn,
+    make_ep_moe_layer,
+)
+from motiondiffusion_moe_tpu.parallel.distributed import (  # noqa: F401
+    initialize_distributed,
+    is_primary,
+    local_batch_slice,
+)

@@ -86,6 +86,9 @@ def main(argv=None) -> None:
 
     import jax
 
+    from motiondiffusion_moe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from motiondiffusion_moe_tpu.config import ExperimentConfig
     from motiondiffusion_moe_tpu.data import MotionNormalizer, Text2MotionDataset
     from motiondiffusion_moe_tpu.eval import (

@@ -108,6 +108,9 @@ def main(argv=None) -> None:
 
     import jax
 
+    from motiondiffusion_moe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from motiondiffusion_moe_tpu.data import (
         DataLoader, SyntheticText2MotionDataset, Text2MotionDataset)
     from motiondiffusion_moe_tpu.training import CheckpointManager, Trainer

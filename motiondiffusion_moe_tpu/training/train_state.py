@@ -60,20 +60,34 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
 
 
 def create_train_state(model: MotionTransformer, cfg: ExperimentConfig,
-                       rng: jax.Array) -> TrainState:
-    """Initialize params (jitted — eager init is pathologically slow through
-    the TPU tunnel) and the optimizer state."""
+                       rng: jax.Array, init_on_cpu: bool = True) -> TrainState:
+    """Initialize params and the optimizer state.
+
+    Param init compiles and runs on the host CPU backend by default, then
+    transfers to the accelerator — compiling the init program for a large
+    model through a remote TPU is pathologically slow (~7 min for the 363M
+    flagship vs seconds on CPU), and init runs exactly once.
+    """
     mc = cfg.model
     x = jnp.zeros((1, mc.max_frames, mc.input_feats))
     t = jnp.zeros((1,), jnp.int32)
     length = jnp.full((1,), mc.max_frames, jnp.int32)
     ids = jnp.zeros((1, mc.text_max_tokens), jnp.int32)
 
-    @jax.jit
     def init(key):
         return model.init({"params": key}, x, t, length, text_ids=ids)
 
-    variables = init(rng)
+    default_device = jax.devices()[0]
+    if init_on_cpu and default_device.platform != "cpu":
+        # EAGER on CPU: flax init traces the whole forward, and jit-compiling
+        # that graph takes minutes (XLA CPU ~6 min for the flagship; remote
+        # TPU ~7 min); eager op-by-op execution needs no compile.
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            variables = init(rng)
+        variables = jax.device_put(variables, default_device)
+    else:
+        variables = jax.jit(init)(rng)
     tx = make_optimizer(cfg)
     return TrainState(step=jnp.zeros((), jnp.int32),
                       params=variables,

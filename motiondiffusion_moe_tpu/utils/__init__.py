@@ -13,3 +13,4 @@ from motiondiffusion_moe_tpu.utils.media import (  # noqa: F401
     save_images,
     list_cut_average,
 )
+from motiondiffusion_moe_tpu.utils.cache import enable_compilation_cache  # noqa: F401

@@ -96,6 +96,35 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(out1[:, :8]),
                                    np.asarray(out2[:, :8]), atol=2e-2)
 
+    def test_stochastic_depth_with_moe_grads(self):
+        """Regression: stochastic depth (p<1) with MoE sow used to leak
+        tracers through lax.cond in train mode (found driving the flagship
+        train step on TPU); the branchless select must support grads."""
+        cfg = ModelConfig(input_feats=26, max_frames=16, latent_dim=32,
+                          ff_size=16, num_layers=2, num_heads=2,
+                          num_experts=4, text_latent_dim=16,
+                          num_random_features=8, text_max_tokens=8,
+                          stochastic_depth_min=0.5, dtype="float32")
+        model = MotionTransformer(config=cfg)
+        x = jnp.zeros((2, 16, 26))
+        t = jnp.asarray([1, 5])
+        ln = jnp.asarray([16, 16])
+        ids = jnp.ones((2, 8), jnp.int32)
+        params = model.init({"params": jax.random.key(0)}, x, t, ln,
+                            text_ids=ids)
+
+        def loss(p, k):
+            out, cols = model.apply(
+                p, x, t, ln, text_ids=ids, deterministic=False,
+                rngs={"dropout": jax.random.fold_in(k, 0),
+                      "stochdepth": jax.random.fold_in(k, 1)},
+                mutable=["moe_losses", "moe_metrics"])
+            return jnp.sum(out) + sum_moe_aux_losses(cols)
+
+        g = jax.jit(jax.grad(loss))(params, jax.random.key(3))
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g))
+
     def test_train_mode_stochastic(self, model_and_params):
         model, params = model_and_params
         x = jax.random.normal(jax.random.key(1), (2, 32, 26))
