@@ -103,13 +103,21 @@ class FastAttention(nn.Module):
 
 
 class PerformerSelfAttention(nn.Module):
-    """Performer self-attention block (``fast_attention.py:94-179``)."""
+    """Performer self-attention block (``fast_attention.py:94-179``).
+
+    ``fused=True`` (default) runs the whole FastAttention body — shared
+    LayerNorm, L2 stabilization, feature maps, contractions, denominator,
+    output norm — as ONE Pallas kernel gridded over (batch, head), reading
+    q/k/v straight in the Dense [B, T, H*D] layout (no head transpose).
+    Numerically equivalent to the module path (same math, f32 internals).
+    """
 
     latent_dim: int
     num_heads: int
     dropout: float
     time_embed_dim: int
     num_features: int = 256
+    fused: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,15 +135,35 @@ class PerformerSelfAttention(nn.Module):
         v = nn.Dense(D, kernel_init=init, dtype=self.dtype, name="value")(h)
         q, k, v = grad_clamp(q), grad_clamp(k), grad_clamp(v)
 
-        def heads(t):
-            return t.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3) * 0.1
+        if self.fused:
+            from motiondiffusion_moe_tpu.ops.performer_pallas import (
+                favor_attention_full)
 
-        attn_out = FastAttention(head_dim=head_dim,
-                                 num_features=self.num_features,
-                                 dtype=self.dtype, name="fast_attention")(
-            heads(q), heads(k), heads(v), mask=src_mask)
-        attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
-        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, T, D)
+            ln_scale = self.param("fa_norm_scale", nn.initializers.ones,
+                                  (head_dim,))
+            ln_bias = self.param("fa_norm_bias", nn.initializers.zeros,
+                                 (head_dim,))
+            projection = jax.lax.stop_gradient(self.param(
+                "fa_projection", _orthogonal_feature_init,
+                (head_dim, self.num_features)))
+            m = src_mask
+            if m is not None and m.ndim == 3:
+                m = m[..., 0]  # [B, T, 1] -> [B, T]
+            attn_out = favor_attention_full(
+                q, k, v, ln_scale, ln_bias, projection, m)
+            attn_out = nn.Dropout(self.dropout)(attn_out,
+                                                deterministic=deterministic)
+        else:
+            def heads(t):
+                return t.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3) * 0.1
+
+            attn_out = FastAttention(head_dim=head_dim,
+                                     num_features=self.num_features,
+                                     dtype=self.dtype, name="fast_attention")(
+                heads(q), heads(k), heads(v), mask=src_mask)
+            attn_out = nn.Dropout(self.dropout)(attn_out,
+                                                deterministic=deterministic)
+            attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, T, D)
 
         attn_out = nn.Dense(D, kernel_init=init, dtype=self.dtype,
                             name="proj_out_0")(attn_out)

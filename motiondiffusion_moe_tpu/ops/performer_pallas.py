@@ -128,6 +128,173 @@ def _favor_fwd(q, k, v, projection, mask, eps):
     return out, (q, k, v, projection, mask)
 
 
+# ===========================================================================
+# Fully-fused Performer core: LayerNorm + L2-norm + FAVOR+ + output norm
+# ===========================================================================
+#
+# Profiling the flagship forward on v5e shows it is ~80% memory-bound:
+# copies/reshapes (head transposes), dtype converts, and reduce fusions
+# (LayerNorm / L2-norm passes) dwarf the actual matmuls. This kernel fuses
+# the ENTIRE FastAttention module body (fast_attention.py:29-92):
+#
+#   shared-LayerNorm(q|k|v) -> L2-normalize(q,k) -> exp feature maps
+#   -> kv/qkv contractions -> same-position denominator -> output LayerNorm
+#
+# into one VMEM-resident pass per (batch, head) grid cell, reading q/k/v
+# STRAIGHT in [B, T, H*D] layout (the Dense output) — the per-head column
+# slice happens in the BlockSpec index_map, eliminating the physical
+# [B,T,H,D]->[B,H,T,D] transpose entirely.
+
+LN_EPS = 1e-6  # flax.linen.LayerNorm default
+
+
+def favor_full_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+                         projection: jnp.ndarray,
+                         mask: Optional[jnp.ndarray],
+                         eps: float = 1e-6,
+                         pre_scale: float = 0.1) -> jnp.ndarray:
+    """Pure-JAX reference for the fused op.
+
+    q, k, v: [B, T, H*D] (raw Dense outputs); ln_scale/ln_bias: [D] shared
+    LayerNorm params; projection: [D, m]; mask: [B, T] or None.
+    Returns [B, T, H*D].
+    """
+    B, T, HD = q.shape
+    D = projection.shape[0]
+    H = HD // D
+
+    def split(x):
+        return x.reshape(B, T, H, D).astype(jnp.float32) * pre_scale
+
+    def ln(x):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return ((x - mu) * jax.lax.rsqrt(var + LN_EPS)
+                * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32))
+
+    qh, kh, vh = ln(split(q)), ln(split(k)), ln(split(v))
+    qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-12)
+    kh = kh / jnp.maximum(jnp.linalg.norm(kh, axis=-1, keepdims=True), 1e-12)
+
+    proj32 = projection.astype(jnp.float32)
+    q_proj = jnp.exp(jnp.clip(jnp.einsum("bthd,dm->bthm", qh, proj32),
+                              -15, 15)) * 0.1
+    k_proj = jnp.exp(jnp.clip(jnp.einsum("bthd,dm->bthm", kh, proj32),
+                              -15, 15)) * 0.1
+    if mask is not None:
+        k_proj = k_proj * mask.astype(jnp.float32)[:, :, None, None]
+    kv = jnp.einsum("bthm,bthd->bhmd", k_proj, vh) * 0.1
+    qkv = jnp.einsum("bthm,bhmd->bthd", q_proj, kv) * 0.1
+    den = jnp.maximum(jnp.sum(q_proj * k_proj, -1, keepdims=True), eps)
+    out = ln(qkv / den)
+    return out.reshape(B, T, HD).astype(q.dtype)
+
+
+def _favor_full_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref, proj_ref,
+                       mask_ref, out_ref, *, eps: float, pre_scale: float):
+    scale = scale_ref[0].astype(jnp.float32)
+    bias = bias_ref[0].astype(jnp.float32)
+
+    def ln(x):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+    q = ln(q_ref[0].astype(jnp.float32) * pre_scale)   # [T, D]
+    k = ln(k_ref[0].astype(jnp.float32) * pre_scale)
+    v = ln(v_ref[0].astype(jnp.float32) * pre_scale)
+
+    q = q * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(q * q, -1, keepdims=True), 1e-24))
+    k = k * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(k * k, -1, keepdims=True), 1e-24))
+
+    proj = proj_ref[:].astype(jnp.float32)
+    q_proj = jnp.exp(jnp.clip(
+        jnp.dot(q, proj, preferred_element_type=jnp.float32), -15, 15)) * 0.1
+    k_proj = jnp.exp(jnp.clip(
+        jnp.dot(k, proj, preferred_element_type=jnp.float32), -15, 15)) * 0.1
+    k_proj = k_proj * mask_ref[0]
+
+    kv = jnp.dot(k_proj.T, v, preferred_element_type=jnp.float32) * 0.1
+    qkv = jnp.dot(q_proj, kv, preferred_element_type=jnp.float32) * 0.1
+    den = jnp.maximum(jnp.sum(q_proj * k_proj, -1, keepdims=True), eps)
+    out_ref[0] = ln(qkv / den).astype(out_ref.dtype)
+
+
+def _favor_full_pallas(q, k, v, ln_scale, ln_bias, projection, mask,
+                       eps: float, pre_scale: float):
+    B, T, HD = q.shape
+    D, m = projection.shape
+    H = HD // D
+    if mask is None:
+        maskf = jnp.ones((B, T, 1), jnp.float32)
+    else:
+        maskf = mask.astype(jnp.float32).reshape(B, T, 1)
+
+    grid = (B, H)
+    qkv_spec = pl.BlockSpec((1, T, D), lambda b, h: (b, 0, h),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_favor_full_kernel, eps=eps, pre_scale=pre_scale),
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), q.dtype),
+        grid=grid,
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((1, D), lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, m), lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=qkv_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * (2 * T * D * m + 2 * T * m * D),
+            bytes_accessed=4 * B * T * HD * 4,
+            transcendentals=2 * B * H * T * m,
+        ),
+    )(q, k, v, ln_scale.reshape(1, D), ln_bias.reshape(1, D), projection,
+      maskf)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def favor_attention_full(q, k, v, ln_scale, ln_bias, projection, mask=None,
+                         eps: float = 1e-6, pre_scale: float = 0.1):
+    """Fully-fused Performer attention core (see module comment). Pallas on
+    TPU, pure-JAX elsewhere; backward differentiates the reference."""
+    return jax.lax.platform_dependent(
+        q, k, v, ln_scale, ln_bias, projection, mask,
+        tpu=lambda *a: _favor_full_pallas(*a, eps, pre_scale),
+        default=lambda *a: favor_full_reference(*a, eps, pre_scale),
+    )
+
+
+def _favor_full_fwd(q, k, v, ln_scale, ln_bias, projection, mask, eps,
+                    pre_scale):
+    out = favor_attention_full(q, k, v, ln_scale, ln_bias, projection, mask,
+                               eps, pre_scale)
+    return out, (q, k, v, ln_scale, ln_bias, projection, mask)
+
+
+def _favor_full_bwd(eps, pre_scale, residuals, g):
+    q, k, v, ln_scale, ln_bias, projection, mask = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, s_, b_, p_: favor_full_reference(
+            q_, k_, v_, s_, b_, p_, mask, eps, pre_scale),
+        q, k, v, ln_scale, ln_bias, projection)
+    dq, dk, dv, ds, db, dp = vjp(g)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dq, dk, dv, ds, db, dp, dmask
+
+
+favor_attention_full.defvjp(_favor_full_fwd, _favor_full_bwd)
+
+
 def _favor_bwd(eps, residuals, g):
     q, k, v, projection, mask = residuals
     _, vjp = jax.vjp(
