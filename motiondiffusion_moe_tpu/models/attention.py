@@ -183,37 +183,12 @@ class PerformerSelfAttention(nn.Module):
         # zero-init of this style block's output layer (fast_attention.py:
         # 155-158 runs after StylizationBlock.__init__) — reproduced via
         # out_kernel_init.
-        style_out = _StyleBlockXavier(
+        style_out = StylizationBlock(
             latent_dim=D, time_embed_dim=self.time_embed_dim,
             dropout=self.dropout, dtype=self.dtype,
+            out_kernel_init=init, emb_kernel_init=init,
             name="style_block")(attn_out, emb, deterministic)
         return x + 0.1 * style_out
-
-
-class _StyleBlockXavier(nn.Module):
-    """StylizationBlock variant with xavier(0.1)-init output (see
-    PerformerSelfAttention note)."""
-
-    latent_dim: int
-    time_embed_dim: int
-    dropout: float
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, h, emb, deterministic: bool = True):
-        init = xavier_normal(0.1)
-        if emb.shape[-1] != self.time_embed_dim:
-            emb = nn.Dense(self.time_embed_dim, kernel_init=init,
-                           dtype=self.dtype, name="emb_proj")(emb)
-        emb_out = nn.Dense(2 * self.latent_dim, kernel_init=init,
-                           dtype=self.dtype, name="emb_layers")(nn.silu(emb))
-        scale, shift = jnp.split(emb_out[:, None, :], 2, axis=-1)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h) * (1 + scale) + shift
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.latent_dim, kernel_init=init, dtype=self.dtype,
-                     name="out")(h)
-        return h
 
 
 class DualSelfAttentionBlock(nn.Module):

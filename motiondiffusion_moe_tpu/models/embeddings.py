@@ -7,7 +7,7 @@ Capability match of ``text2motion/models/time.py``, ``gate.py``,
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -105,24 +105,52 @@ class StylizationBlock(nn.Module):
     time_embed_dim: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # init for the output projection: zeros by default (stylization.py:29);
+    # PerformerSelfAttention overrides with xavier(0.1) (its module-wide
+    # re-init clobbers the zero init, fast_attention.py:155-158)
+    out_kernel_init: Any = nn.initializers.zeros
+    emb_kernel_init: Any = None  # None -> flax Dense default
+    # The fused AdaLN Pallas kernel (ops/adaln_pallas.py) wins standalone
+    # (2x) but LOSES ~7% end-to-end: inside the whole-model jit XLA already
+    # fuses this prologue into neighbors, and the pallas_call is a fusion
+    # barrier. Off by default; kept as a building block.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, emb: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
+        D = self.latent_dim
+        dense_kw = ({"kernel_init": self.emb_kernel_init}
+                    if self.emb_kernel_init is not None else {})
         if emb.shape[-1] != self.time_embed_dim:
             emb = nn.Dense(self.time_embed_dim, dtype=self.dtype,
-                           name="emb_proj")(emb)
-        emb_out = nn.Dense(2 * self.latent_dim, dtype=self.dtype,
-                           name="emb_layers")(nn.silu(emb))
-        emb_out = emb_out[:, None, :]  # [B, 1, 2D]
-        scale, shift = jnp.split(emb_out, 2, axis=-1)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h) * (1 + scale) + shift
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.latent_dim, dtype=self.dtype,
-                     kernel_init=nn.initializers.zeros,
-                     bias_init=nn.initializers.zeros, name="out")(h)
-        return h
+                           name="emb_proj", **dense_kw)(emb)
+        emb_out = nn.Dense(2 * D, dtype=self.dtype,
+                           name="emb_layers", **dense_kw)(nn.silu(emb))
+        scale, shift = jnp.split(emb_out, 2, axis=-1)  # [B, D] each
+
+        ln_scale = self.param("norm_scale", nn.initializers.ones, (D,))
+        ln_bias = self.param("norm_bias", nn.initializers.zeros, (D,))
+        w = self.param("out_kernel", self.out_kernel_init, (D, D))
+        b = self.param("out_bias", nn.initializers.zeros, (D,))
+
+        use_dropout = (not deterministic) and self.dropout > 0
+        if self.fused and not use_dropout:
+            # fused LN+modulate+SiLU+Dense Pallas kernel
+            from motiondiffusion_moe_tpu.ops.adaln_pallas import adaln_dense
+
+            return adaln_dense(h, scale, shift, ln_scale, ln_bias,
+                               w.astype(self.dtype), b.astype(self.dtype))
+
+        hf = h.astype(jnp.float32)
+        mu = hf.mean(-1, keepdims=True)
+        var = ((hf - mu) ** 2).mean(-1, keepdims=True)
+        normed = ((hf - mu) * jax.lax.rsqrt(var + 1e-6)
+                  * ln_scale + ln_bias).astype(self.dtype)
+        hmod = normed * (1 + scale[:, None, :]) + shift[:, None, :]
+        hmod = nn.silu(hmod)
+        hmod = nn.Dropout(self.dropout)(hmod, deterministic=not use_dropout)
+        return hmod @ w.astype(self.dtype) + b.astype(self.dtype)
 
 
 def stochastic_depth(block_fn, x: jnp.ndarray, survival_prob: float,
