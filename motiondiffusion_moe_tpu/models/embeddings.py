@@ -161,9 +161,10 @@ def stochastic_depth(block_fn, x: jnp.ndarray, survival_prob: float,
 
     The reference draws ONE coin for the entire batch and returns the input
     unchanged when dropped, with no eval-time rescaling; matched exactly.
-    Implemented with lax.cond so both branches stay in the jitted graph.
+    Branchless (compute + select): flax ``sow`` side effects inside the
+    block cannot escape a ``lax.cond`` branch.
     """
     if deterministic or survival_prob >= 1.0:
         return block_fn(x)
     keep = jax.random.bernoulli(rng, survival_prob)
-    return jax.lax.cond(keep, block_fn, lambda h: h, x)
+    return jnp.where(keep, block_fn(x), x)
