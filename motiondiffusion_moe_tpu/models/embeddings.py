@@ -153,6 +153,21 @@ class StylizationBlock(nn.Module):
         return hmod @ w.astype(self.dtype) + b.astype(self.dtype)
 
 
+class NormalizationBlock(nn.Module):
+    """GroupNorm + LayerNorm stack (``models/utils.py:4-13``; used only by
+    the reference's dead code, ported for inventory completeness)."""
+
+    dim: int
+    num_groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype,
+                         name="group_norm")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(h)
+
+
 def stochastic_depth(block_fn, x: jnp.ndarray, survival_prob: float,
                      deterministic: bool,
                      rng: Optional[jax.Array]) -> jnp.ndarray:

@@ -35,12 +35,17 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, epoch: int,
+             rng: Optional[Any] = None,
              extra: Optional[Dict[str, Any]] = None) -> None:
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
             "epoch": np.asarray(epoch),
+            # rng key data so resume continues the exact random stream
+            "rng": (np.asarray(jax.random.key_data(rng)) if rng is not None
+                    else np.zeros((2,), np.uint32)),
+            "has_rng": np.asarray(rng is not None),
         }
         if extra:
             payload.update(extra)
@@ -54,7 +59,16 @@ class CheckpointManager:
 
     def restore(self, state_template: Any, step: Optional[int] = None):
         """Restore into the shape of ``state_template``; returns
-        (state, epoch) or None if no checkpoint exists."""
+        (state, epoch) or (state, epoch, rng) via :meth:`restore_with_rng`,
+        or None if no checkpoint exists."""
+        out = self.restore_with_rng(state_template, step)
+        if out is None:
+            return None
+        state, epoch, _ = out
+        return state, epoch
+
+    def restore_with_rng(self, state_template: Any,
+                         step: Optional[int] = None):
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
@@ -63,6 +77,8 @@ class CheckpointManager:
             "opt_state": state_template.opt_state,
             "step": np.asarray(state_template.step),
             "epoch": np.asarray(0),
+            "rng": np.zeros((2,), np.uint32),
+            "has_rng": np.asarray(False),
         }
         restored = self._mngr.restore(
             step, args=ocp.args.StandardRestore(template))
@@ -70,7 +86,11 @@ class CheckpointManager:
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=jax.numpy.asarray(restored["step"]))
-        return state, int(restored["epoch"])
+        rng = None
+        if bool(restored.get("has_rng", False)):
+            rng = jax.random.wrap_key_data(
+                jax.numpy.asarray(restored["rng"]))
+        return state, int(restored["epoch"]), rng
 
     def close(self) -> None:
         self._mngr.close()

@@ -85,9 +85,11 @@ class Trainer:
         rng = rng if rng is not None else jax.random.key(cfg.train.seed + 1)
 
         if checkpoints is not None:
-            restored = checkpoints.restore(state)
+            restored = checkpoints.restore_with_rng(state)
             if restored is not None:
-                state, start_epoch = restored
+                state, start_epoch, saved_rng = restored
+                if saved_rng is not None:
+                    rng = saved_rng
                 print(f"[trainer] resumed from step {int(state.step)} "
                       f"(epoch {start_epoch})")
 
@@ -120,10 +122,10 @@ class Trainer:
                 self.logger.log(it, epoch, logs, start_time)
 
                 if checkpoints is not None and it % cfg.train.save_latest_every == 0:
-                    checkpoints.save(it, state, epoch)
+                    checkpoints.save(it, state, epoch, rng=rng)
 
             if checkpoints is not None:
-                checkpoints.save(it, state, epoch)
+                checkpoints.save(it, state, epoch, rng=rng)
         if checkpoints is not None:
             checkpoints.wait()
         return state
