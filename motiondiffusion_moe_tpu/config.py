@@ -40,8 +40,9 @@ class DataConfig:
 
     @staticmethod
     def kit(**kw: Any) -> "DataConfig":
-        return DataConfig(dataset_name="kit", data_root="./data/KIT-ML",
-                          dim_pose=251, num_joints=21, min_motion_length=24, **kw)
+        kw.setdefault("data_root", "./data/KIT-ML")
+        return DataConfig(dataset_name="kit", dim_pose=251, num_joints=21,
+                          min_motion_length=24, **kw)
 
 
 @dataclass(frozen=True)
