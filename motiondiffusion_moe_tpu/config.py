@@ -82,7 +82,11 @@ class ModelConfig:
     moe_aux_loss_weight: float = 0.01
     moe_num_branches: int = 2          # MoEMultiBranchFFN branches (multi_branch.py:31-61)
     # --- attention (models/fast_attention.py) ---
-    num_random_features: int = 64      # Performer FAVOR+ feature count
+    # Performer FAVOR+ feature count. The reference passes num_features=256
+    # (fast_attention.py:6,117) but its reduced-QR orthogonalization silently
+    # truncates the projection to head_dim=128 rows; 128 is therefore the
+    # reference's EFFECTIVE count and the parity default here.
+    num_random_features: int = 128
     xattn_chunk_size: int = 256        # MemoryEfficientCrossAttention chunk (tools/train.py:70)
     # --- stochastic depth (models/time.py:35-48, transformer.py:227) ---
     stochastic_depth_min: float = 0.8  # survival probs linspace(1.0 -> 0.8)

@@ -21,10 +21,23 @@ from motiondiffusion_moe_tpu.motion.recover import recover_from_ric
 
 
 def masked_frame_mse(pred: jnp.ndarray, target: jnp.ndarray,
-                     src_mask: jnp.ndarray) -> jnp.ndarray:
+                     src_mask: jnp.ndarray,
+                     sample_weight: Optional[jnp.ndarray] = None,
+                     ) -> jnp.ndarray:
     """((pred-target)^2 .mean(-1) * mask).sum() / mask.sum()
-    (``ddpm_trainer.py:208-213``). ``src_mask``: [B, T]."""
+    (``ddpm_trainer.py:208-213``). ``src_mask``: [B, T].
+
+    ``sample_weight`` [B] carries schedule-sampler importance weights
+    (1/(T*q(t))): the numerator is weighted per sample so a non-uniform
+    sampler still optimizes an unbiased estimate of the uniform objective.
+    All-ones weights reproduce the reference loss bit-for-bit. (The
+    reference computes but discards these weights, ``ddpm_trainer.py:119`` —
+    its loss-aware samplers train on a biased objective; divergence
+    documented in DIVERGENCES.md.)
+    """
     per_frame = jnp.mean((pred - target) ** 2, axis=-1)
+    if sample_weight is not None:
+        per_frame = per_frame * sample_weight[:, None].astype(per_frame.dtype)
     return jnp.sum(per_frame * src_mask) / jnp.maximum(jnp.sum(src_mask), 1.0)
 
 

@@ -138,7 +138,12 @@ def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
                                     mean_type=mean_type, var_type=var_type,
                                     loss_type=loss_type)
         src_mask = generate_src_mask(x_start.shape[1], batch["length"])
-        loss_rec = L.masked_frame_mse(terms["pred"], terms["target"], src_mask)
+        # t_weight: schedule-sampler importance weights (all-ones under the
+        # uniform sampler -> exact reference loss). Applied here so
+        # loss-second-moment/adaptive samplers stay unbiased; the advanced
+        # losses below are our own additions and stay unweighted.
+        loss_rec = L.masked_frame_mse(terms["pred"], terms["target"], src_mask,
+                                      sample_weight=batch.get("t_weight"))
 
         moe_loss = sum_moe_aux_losses(cols) * cfg.model.moe_aux_loss_weight
         total = loss_rec + moe_loss

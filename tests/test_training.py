@@ -57,6 +57,24 @@ class TestLosses:
         loss = masked_frame_mse(pred, target, mask)
         assert float(loss) == pytest.approx(1.0)
 
+    def test_masked_mse_importance_weights(self):
+        """All-ones weights == unweighted (reference parity); non-uniform
+        weights scale each sample's numerator contribution."""
+        rng = jax.random.key(1)
+        pred = jax.random.normal(rng, (3, 4, 5))
+        target = jnp.zeros((3, 4, 5))
+        mask = jnp.asarray(
+            [[1, 1, 1, 0], [1, 1, 0, 0], [1, 1, 1, 1]], jnp.float32)
+        base = masked_frame_mse(pred, target, mask)
+        ones = masked_frame_mse(pred, target, mask,
+                                sample_weight=jnp.ones((3,)))
+        assert float(ones) == pytest.approx(float(base), rel=1e-7)
+        w = jnp.asarray([2.0, 0.5, 1.0])
+        weighted = masked_frame_mse(pred, target, mask, sample_weight=w)
+        per_frame = jnp.mean(pred ** 2, axis=-1)
+        expect = jnp.sum(per_frame * w[:, None] * mask) / jnp.sum(mask)
+        assert float(weighted) == pytest.approx(float(expect), rel=1e-6)
+
     def test_velocity_loss_zero_for_equal(self):
         x = jax.random.normal(jax.random.key(0), (2, 8, 6))
         mask = jnp.ones((2, 8))
