@@ -108,6 +108,10 @@ class ParallelConfig:
     data_axis: str = "data"
     expert_axis: str = "expert"
     num_expert_partitions: int = 1     # experts sharded over this many devices
+    # data-axis size: 0 = auto (all visible accelerator devices / EP; stays
+    # single-device on the CPU backend so unit tests don't silently shard),
+    # 1 = force unsharded, N>1 = force an N-way data axis.
+    num_data_partitions: int = 0
     fsdp_axis: Optional[str] = None    # reserved (model is small)
 
 

@@ -53,7 +53,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--w_acceleration", type=float, default=0.0)
     p.add_argument("--w_structure", type=float, default=0.0)
     p.add_argument("--w_progressive", type=float, default=0.0)
-    p.add_argument("--expert_parallel", type=int, default=1)
+    p.add_argument("--expert_parallel", type=int, default=1,
+                   help="EP degree: experts sharded over this many devices")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="DP degree; 0 = auto (all devices on an accelerator"
+                        " backend, single-device on CPU)")
     p.add_argument("--synthetic_size", type=int, default=256,
                    help="synthetic dataset size (dataset=synthetic)")
     return p
@@ -87,7 +91,8 @@ def config_from_args(args: argparse.Namespace):
                                   beta_schedule=args.beta_schedule,
                                   schedule_sampler=args.schedule_sampler),
         model=model,
-        parallel=ParallelConfig(num_expert_partitions=args.expert_parallel),
+        parallel=ParallelConfig(num_expert_partitions=args.expert_parallel,
+                                num_data_partitions=args.data_parallel),
         train=TrainConfig(batch_size=args.batch_size,
                           num_epochs=args.num_epochs, lr=args.lr,
                           seed=args.seed,

@@ -18,6 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from motiondiffusion_moe_tpu.config import ExperimentConfig
+from motiondiffusion_moe_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+)
 from motiondiffusion_moe_tpu.diffusion.gaussian import make_schedule
 from motiondiffusion_moe_tpu.diffusion.samplers import (
     LossAwareSampler,
@@ -47,10 +52,44 @@ class Trainer:
             num_timesteps=cfg.diffusion.num_timesteps)
         self.sampler = create_named_schedule_sampler(
             cfg.diffusion.schedule_sampler, cfg.diffusion.num_timesteps)
+        self.mesh = self._maybe_make_mesh(cfg)
+        # With a mesh, jit happens in fit() via make_sharded_train_step
+        # (it needs the state to derive shardings); without, jit here.
         self.train_step = make_train_step(self.model, self.sched, cfg,
-                                          normalizer_stats=normalizer_stats)
+                                          normalizer_stats=normalizer_stats,
+                                          jit=self.mesh is None)
         self.logger = logger or MetricsLogger(cfg.train.log_every)
         self._np_rng = np.random.default_rng(cfg.train.seed)
+
+    @staticmethod
+    def _maybe_make_mesh(cfg: ExperimentConfig):
+        """DP x EP mesh per ParallelConfig (replaces the reference's DDP
+        wiring, ``tools/train.py:95-145``).
+
+        Sharded when EP > 1 or DP is explicit; on a real accelerator
+        backend, auto-DP over all visible devices. On the CPU backend
+        auto stays single-device (unit tests run on a virtual 8-device
+        CPU mesh and must not silently shard).
+        """
+        ep = cfg.parallel.num_expert_partitions
+        dp = cfg.parallel.num_data_partitions
+        ndev = len(jax.devices())
+        auto_dp = (dp == 0 and ndev > 1
+                   and jax.default_backend() not in ("cpu",))
+        if ep <= 1 and dp <= 1 and not auto_dp:
+            return None
+        if dp == 0:
+            n = (ndev // ep) * ep
+        else:
+            n = dp * ep
+        assert n >= 1 and n <= ndev, (
+            f"parallel config wants {n} devices (dp={dp} x ep={ep}), "
+            f"have {ndev}")
+        if cfg.train.batch_size % (n // ep) != 0:
+            raise ValueError(
+                f"global batch {cfg.train.batch_size} not divisible by the "
+                f"data axis ({n // ep})")
+        return make_mesh(n, expert_parallel=ep)
 
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
@@ -93,6 +132,17 @@ class Trainer:
                 print(f"[trainer] resumed from step {int(state.step)} "
                       f"(epoch {start_epoch})")
 
+        if self.mesh is not None:
+            # restore happens above on host/default placement; this places
+            # the (possibly restored) state per the mesh sharding rules and
+            # jits the step with explicit in/out shardings.
+            step_fn, state = make_sharded_train_step(
+                self.train_step, state, self.mesh)
+            print(f"[trainer] mesh {dict(self.mesh.shape)} "
+                  f"({self.mesh.devices.size} devices)")
+        else:
+            step_fn = self.train_step
+
         it = int(state.step)
         start_time = time.time()
         for epoch in range(start_epoch, cfg.train.num_epochs):
@@ -101,7 +151,9 @@ class Trainer:
             for captions, motions, lengths in loader:
                 rng, k1, k2 = jax.random.split(rng, 3)
                 batch = self._make_batch(captions, motions, lengths)
-                state, metrics = self.train_step(state, batch, k1)
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
+                state, metrics = step_fn(state, batch, k1)
                 self._update_sampler(batch, metrics)
                 logs = OrderedDict(
                     (k, float(v)) for k, v in metrics.items()
@@ -112,7 +164,9 @@ class Trainer:
                     # 319-333): same compiled fn, empty captions
                     uncond = self._make_batch([""] * len(captions), motions,
                                               lengths)
-                    state, umetrics = self.train_step(state, uncond, k2)
+                    if self.mesh is not None:
+                        uncond = shard_batch(uncond, self.mesh)
+                    state, umetrics = step_fn(state, uncond, k2)
                     self._update_sampler(uncond, umetrics)
                     for k, v in umetrics.items():
                         if np.ndim(v) == 0:
