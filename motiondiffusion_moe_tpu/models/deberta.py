@@ -47,6 +47,10 @@ class DebertaConfig:
     position_buckets: int = 256
     layer_norm_eps: float = 1e-7
     dropout: float = 0.1
+    # v3 checkpoints (incl. deberta-v3-large) share query/key projections
+    # for the position embeddings (HF ``share_att_key``); v2-style separate
+    # pos_key_proj/pos_query_proj when False.
+    share_att_key: bool = True
 
     @staticmethod
     def large() -> "DebertaConfig":
@@ -107,10 +111,10 @@ class DisentangledSelfAttention(nn.Module):
         def heads(x):
             return x.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
 
-        q = heads(nn.Dense(c.hidden_size, dtype=self.dtype,
-                           name="query_proj")(hidden))
-        k = heads(nn.Dense(c.hidden_size, dtype=self.dtype,
-                           name="key_proj")(hidden))
+        q_dense = nn.Dense(c.hidden_size, dtype=self.dtype, name="query_proj")
+        k_dense = nn.Dense(c.hidden_size, dtype=self.dtype, name="key_proj")
+        q = heads(q_dense(hidden))
+        k = heads(k_dense(hidden))
         v = heads(nn.Dense(c.hidden_size, dtype=self.dtype,
                            name="value_proj")(hidden))
 
@@ -119,11 +123,16 @@ class DisentangledSelfAttention(nn.Module):
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
 
         att_span = c.position_buckets
-        # rel_embeddings: [2*span, hidden]; shared pos_key/pos_query proj
-        pos_key = nn.Dense(c.hidden_size, dtype=self.dtype,
-                           name="pos_key_proj")(rel_embeddings)
-        pos_query = nn.Dense(c.hidden_size, dtype=self.dtype,
-                             name="pos_query_proj")(rel_embeddings)
+        # rel_embeddings: [2*span, hidden]. v3 (share_att_key) reuses the
+        # content q/k projections for positions; v2 has dedicated ones.
+        if c.share_att_key:
+            pos_key = k_dense(rel_embeddings)
+            pos_query = q_dense(rel_embeddings)
+        else:
+            pos_key = nn.Dense(c.hidden_size, dtype=self.dtype,
+                               name="pos_key_proj")(rel_embeddings)
+            pos_query = nn.Dense(c.hidden_size, dtype=self.dtype,
+                                 name="pos_query_proj")(rel_embeddings)
         pos_key = pos_key.reshape(2 * att_span, H, head_dim).transpose(1, 0, 2)
         pos_query = pos_query.reshape(2 * att_span, H, head_dim).transpose(1, 0, 2)
 
@@ -190,8 +199,9 @@ class DebertaEncoder(nn.Module):
                      name="word_embeddings")(input_ids)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name="embeddings_norm")(h)
-        h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        # HF order: LayerNorm -> mask multiply -> dropout
         h = h * attn_mask[..., None].astype(h.dtype)
+        h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
 
         rel_embeddings = self.param(
             "rel_embeddings", nn.initializers.normal(0.02),
@@ -287,14 +297,19 @@ def convert_hf_deberta_checkpoint(state_dict: Dict[str, Any],
     }
     for i in range(cfg.num_hidden_layers):
         pre = f"encoder.layer.{i}"
+        attn = {
+            "query_proj": dense(f"{pre}.attention.self.query_proj"),
+            "key_proj": dense(f"{pre}.attention.self.key_proj"),
+            "value_proj": dense(f"{pre}.attention.self.value_proj"),
+        }
+        if not cfg.share_att_key:
+            # v2-style checkpoints carry dedicated position projections;
+            # v3 (share_att_key) reuses query/key and has no such keys.
+            attn["pos_key_proj"] = dense(f"{pre}.attention.self.pos_key_proj")
+            attn["pos_query_proj"] = dense(
+                f"{pre}.attention.self.pos_query_proj")
         params[f"layer_{i}"] = {
-            "attention": {
-                "query_proj": dense(f"{pre}.attention.self.query_proj"),
-                "key_proj": dense(f"{pre}.attention.self.key_proj"),
-                "value_proj": dense(f"{pre}.attention.self.value_proj"),
-                "pos_key_proj": dense(f"{pre}.attention.self.pos_key_proj"),
-                "pos_query_proj": dense(f"{pre}.attention.self.pos_query_proj"),
-            },
+            "attention": attn,
             "attention_output": dense(f"{pre}.attention.output.dense"),
             "attention_norm": ln(f"{pre}.attention.output.LayerNorm"),
             "intermediate": dense(f"{pre}.intermediate.dense"),
