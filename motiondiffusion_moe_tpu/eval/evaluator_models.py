@@ -167,7 +167,7 @@ class TextEncoderBiGRUCo(nn.Module):
         _, last = MaskedBiGRU(hidden_size=self.hidden_size,
                               name="gru")(input_embs, cap_lens, h0)
         h = nn.Dense(self.hidden_size, name="output_net_0")(last)
-        h = nn.LayerNorm(name="output_net_1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="output_net_1")(h)
         h = leaky_relu(h)
         return nn.Dense(self.output_size, name="output_net_3")(h)
 
@@ -190,7 +190,7 @@ class MotionEncoderBiGRUCo(nn.Module):
         _, last = MaskedBiGRU(hidden_size=self.hidden_size,
                               name="gru")(input_embs, m_lens, h0)
         h = nn.Dense(self.hidden_size, name="output_net_0")(last)
-        h = nn.LayerNorm(name="output_net_1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="output_net_1")(h)
         h = leaky_relu(h)
         return nn.Dense(self.output_size, name="output_net_3")(h)
 
@@ -215,13 +215,13 @@ class MotionLenEstimatorBiGRU(nn.Module):
                               name="gru")(input_embs, cap_lens, h0)
         nd = 512
         h = nn.Dense(nd, name="output_0")(last)
-        h = nn.LayerNorm(name="output_1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="output_1")(h)
         h = leaky_relu(h)
         h = nn.Dense(nd // 2, name="output_3")(h)
-        h = nn.LayerNorm(name="output_4")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="output_4")(h)
         h = leaky_relu(h)
         h = nn.Dense(nd // 4, name="output_6")(h)
-        h = nn.LayerNorm(name="output_7")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="output_7")(h)
         h = leaky_relu(h)
         return nn.Dense(self.output_size, name="output_9")(h)
 

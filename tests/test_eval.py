@@ -153,6 +153,98 @@ class TestMaskedBiGRUvsTorch:
                                        atol=1e-5)
 
 
+class TestFinestTarConverter:
+    """Convert a REAL-shaped ``finest.tar`` checkpoint and assert text/motion
+    co-embedding parity against the torch originals (VERDICT r1 missing #2).
+
+    The torch modules are reconstructed here at the protocol's full dims so
+    the saved state_dict has exactly the released checkpoint's layout
+    (``datasets1/evaluator_models.py:79-98,311-386``: movement conv keys
+    ``main.0``/``main.3``/``out_net``, BiGRU keys ``gru.weight_ih_l0`` etc.,
+    ``hidden`` init parameter, ``output_net.{0,1,3}``)."""
+
+    @pytest.mark.slow
+    def test_convert_and_co_embedding_parity(self, tmp_path):
+        import torch
+        from torch import nn as tnn
+        from torch.nn.utils.rnn import pack_padded_sequence
+
+        dim_pose, dim_word, dim_pos = 263, 300, 15
+        mov_latent, text_hidden, motion_hidden, co_dim = 512, 512, 1024, 512
+
+        class TorchMovementEnc(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.main = tnn.Sequential(
+                    tnn.Conv1d(dim_pose - 4, 512, 4, 2, 1),
+                    tnn.Dropout(0.2), tnn.LeakyReLU(0.2),
+                    tnn.Conv1d(512, mov_latent, 4, 2, 1),
+                    tnn.Dropout(0.2), tnn.LeakyReLU(0.2))
+                self.out_net = tnn.Linear(mov_latent, mov_latent)
+
+            def forward(self, x):
+                return self.out_net(
+                    self.main(x.permute(0, 2, 1)).permute(0, 2, 1))
+
+        class TorchBiGRUCo(tnn.Module):
+            """Text/motion co-encoder skeleton (text adds pos_emb)."""
+
+            def __init__(self, input_size, hidden, with_pos):
+                super().__init__()
+                if with_pos:
+                    self.pos_emb = tnn.Linear(dim_pos, dim_word)
+                self.input_emb = tnn.Linear(input_size, hidden)
+                self.gru = tnn.GRU(hidden, hidden, batch_first=True,
+                                   bidirectional=True)
+                self.output_net = tnn.Sequential(
+                    tnn.Linear(hidden * 2, hidden), tnn.LayerNorm(hidden),
+                    tnn.LeakyReLU(0.2), tnn.Linear(hidden, co_dim))
+                self.hidden = tnn.Parameter(torch.randn(2, 1, hidden))
+
+            def forward(self, inputs, lens, pos_onehot=None):
+                if pos_onehot is not None:
+                    inputs = inputs + self.pos_emb(pos_onehot)
+                embs = self.input_emb(inputs)
+                h0 = self.hidden.repeat(1, inputs.shape[0], 1)
+                packed = pack_padded_sequence(embs, list(lens),
+                                              batch_first=True)
+                _, last = self.gru(packed, h0)
+                return self.output_net(
+                    torch.cat([last[0], last[1]], dim=-1))
+
+        torch.manual_seed(0)
+        mov = TorchMovementEnc().eval()
+        txt = TorchBiGRUCo(dim_word, text_hidden, with_pos=True).eval()
+        mot = TorchBiGRUCo(mov_latent, motion_hidden, with_pos=False).eval()
+
+        path = str(tmp_path / "finest.tar")
+        torch.save({"movement_encoder": mov.state_dict(),
+                    "text_encoder": txt.state_dict(),
+                    "motion_encoder": mot.state_dict()}, path)
+
+        # ---- torch reference co-embeddings (evaluator.py:449-479 flow)
+        rng = np.random.default_rng(0)
+        B, T_m, T_w = 3, 48, 10
+        motions = rng.standard_normal((B, T_m, dim_pose)).astype(np.float32)
+        m_lens = np.asarray([48, 36, 24])          # sorted for pack_padded
+        word_embs = rng.standard_normal((B, T_w, dim_word)).astype(np.float32)
+        pos_ohot = rng.standard_normal((B, T_w, dim_pos)).astype(np.float32)
+        cap_lens = np.asarray([10, 7, 4])
+        with torch.no_grad():
+            movements = mov(torch.from_numpy(motions[..., :-4]))
+            t_me = mot(movements, m_lens // 4).numpy()
+            t_te = txt(torch.from_numpy(word_embs), cap_lens,
+                       torch.from_numpy(pos_ohot)).numpy()
+
+        # ---- converted flax wrapper
+        w = EvaluatorModelWrapper.from_torch_checkpoint(path,
+                                                        dim_pose=dim_pose)
+        j_te, j_me = w.get_co_embeddings(word_embs, pos_ohot, cap_lens,
+                                         motions, m_lens)
+        np.testing.assert_allclose(j_te, t_te, atol=1e-3)
+        np.testing.assert_allclose(j_me, t_me, atol=1e-3)
+
+
 class TestEvaluatorWrapper:
     def test_embeddings_shapes(self):
         w = EvaluatorModelWrapper(dim_pose=263)
