@@ -130,14 +130,18 @@ class PerformerSelfAttention(nn.Module):
         init = xavier_normal(0.1)  # fast_attention.py:155-158
 
         h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)
-        q = nn.Dense(D, kernel_init=init, dtype=self.dtype, name="query")(h)
-        k = nn.Dense(D, kernel_init=init, dtype=self.dtype, name="key")(h)
-        v = nn.Dense(D, kernel_init=init, dtype=self.dtype, name="value")(h)
-        q, k, v = grad_clamp(q), grad_clamp(k), grad_clamp(v)
 
         if self.fused:
             from motiondiffusion_moe_tpu.ops.performer_pallas import (
-                favor_attention_full)
+                favor_attention_qkv)
+
+            # ONE merged [D, 3D] matmul instead of three [D, D] ones (q|k|v
+            # column blocks). Init matches per-block torch xavier_normal(0.1)
+            # stats: std = 0.1 * sqrt(2 / (D + D)), NOT fan_avg of (D, 3D).
+            qkv_init = nn.initializers.normal(0.1 * (2.0 / (2 * D)) ** 0.5)
+            qkv = nn.Dense(3 * D, kernel_init=qkv_init, dtype=self.dtype,
+                           name="qkv")(h)
+            qkv = grad_clamp(qkv)
 
             ln_scale = self.param("fa_norm_scale", nn.initializers.ones,
                                   (head_dim,))
@@ -149,11 +153,18 @@ class PerformerSelfAttention(nn.Module):
             m = src_mask
             if m is not None and m.ndim == 3:
                 m = m[..., 0]  # [B, T, 1] -> [B, T]
-            attn_out = favor_attention_full(
-                q, k, v, ln_scale, ln_bias, projection, m)
+            attn_out = favor_attention_qkv(
+                qkv, ln_scale, ln_bias, projection, m)
             attn_out = nn.Dropout(self.dropout)(attn_out,
                                                 deterministic=deterministic)
         else:
+            q = nn.Dense(D, kernel_init=init, dtype=self.dtype,
+                         name="query")(h)
+            k = nn.Dense(D, kernel_init=init, dtype=self.dtype,
+                         name="key")(h)
+            v = nn.Dense(D, kernel_init=init, dtype=self.dtype,
+                         name="value")(h)
+            q, k, v = grad_clamp(q), grad_clamp(k), grad_clamp(v)
             def heads(t):
                 return t.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3) * 0.1
 

@@ -16,8 +16,11 @@ from motiondiffusion_moe_tpu.ops.flash_attention import (
 from motiondiffusion_moe_tpu.ops.performer_pallas import (
     _favor_kernel,
     _favor_pallas,
+    _favor_qkv_kernel,
     favor_attention,
+    favor_attention_qkv,
     favor_attention_reference,
+    favor_qkv_reference,
 )
 
 
@@ -99,6 +102,122 @@ class TestFavorKernel:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+def _favor_qkv_interpret(qkv, ln_scale, ln_bias, proj, mask,
+                         eps=1e-6, pre_scale=0.1):
+    """Merged-QKV kernel in interpreter mode (CPU testable)."""
+    import functools as ft
+
+    B, T, HD3 = qkv.shape
+    HD = HD3 // 3
+    D, m = proj.shape
+    H = HD // D
+    maskf = (jnp.ones((B, T, 1), jnp.float32) if mask is None
+             else mask.astype(jnp.float32).reshape(B, T, 1))
+    return pl.pallas_call(
+        ft.partial(_favor_qkv_kernel, eps=eps, pre_scale=pre_scale,
+                   num_heads=H),
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), qkv.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, HD3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, D), lambda b: (0, 0)),
+            pl.BlockSpec((1, D), lambda b: (0, 0)),
+            pl.BlockSpec((D, m), lambda b: (0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
+        interpret=True,
+    )(qkv, ln_scale.reshape(1, D), ln_bias.reshape(1, D), proj, maskf)
+
+
+class TestFavorQKVKernel:
+    def _inputs(self, B=2, H=2, T=12, D=8, m=16):
+        ks = jax.random.split(jax.random.key(3), 4)
+        qkv = jax.random.normal(ks[0], (B, T, 3 * H * D))
+        scale = 1.0 + 0.1 * jax.random.normal(ks[1], (D,))
+        bias = 0.1 * jax.random.normal(ks[2], (D,))
+        proj = jax.random.normal(ks[3], (D, m)) * (D ** -0.25)
+        return qkv, scale, bias, proj
+
+    def test_kernel_matches_reference_ragged_mask(self):
+        qkv, scale, bias, proj = self._inputs()
+        mask = (jnp.arange(12)[None, :] < jnp.asarray([12, 7])[:, None]
+                ).astype(jnp.float32)
+        ref = favor_qkv_reference(qkv, scale, bias, proj, mask)
+        out = _favor_qkv_interpret(qkv, scale, bias, proj, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_public_entry_cpu_fallback(self):
+        qkv, scale, bias, proj = self._inputs()
+        out = favor_attention_qkv(qkv, scale, bias, proj)
+        ref = favor_qkv_reference(qkv, scale, bias, proj, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+
+    def test_custom_vjp_matches_reference_grad(self):
+        qkv, scale, bias, proj = self._inputs(B=1, H=2, T=8, D=4, m=8)
+
+        def f_custom(x, s, b, p):
+            return jnp.sum(favor_attention_qkv(x, s, b, p) ** 2)
+
+        def f_ref(x, s, b, p):
+            return jnp.sum(favor_qkv_reference(x, s, b, p, None) ** 2)
+
+        g1 = jax.grad(f_custom, argnums=(0, 1, 2, 3))(qkv, scale, bias, proj)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2, 3))(qkv, scale, bias, proj)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
+class TestFusedVsModulePerformer:
+    def test_fused_equals_unfused_with_grafted_params(self):
+        """The merged-QKV fused path must equal the module (FastAttention)
+        path when the qkv kernel is the concat of the separate q/k/v
+        kernels and the LN/projection params are shared."""
+        import flax
+
+        from motiondiffusion_moe_tpu.models.attention import (
+            PerformerSelfAttention)
+
+        kw = dict(latent_dim=32, num_heads=4, dropout=0.0,
+                  time_embed_dim=128, num_features=16)
+        x = jax.random.normal(jax.random.key(0), (2, 10, 32))
+        emb = jax.random.normal(jax.random.key(1), (2, 128))
+        mask = (jnp.arange(10)[None, :] < jnp.asarray([10, 6])[:, None]
+                ).astype(jnp.float32)[..., None]
+
+        fused = PerformerSelfAttention(**kw, fused=True)
+        unfused = PerformerSelfAttention(**kw, fused=False)
+        pf = fused.init(jax.random.key(2), x, emb, mask)
+        pu = unfused.init(jax.random.key(2), x, emb, mask)
+
+        # graft fused params from the unfused tree
+        f = flax.traverse_util.flatten_dict(pf["params"])
+        u = flax.traverse_util.flatten_dict(pu["params"])
+        f[("qkv", "kernel")] = jnp.concatenate(
+            [u[("query", "kernel")], u[("key", "kernel")],
+             u[("value", "kernel")]], axis=1)
+        f[("qkv", "bias")] = jnp.concatenate(
+            [u[("query", "bias")], u[("key", "bias")],
+             u[("value", "bias")]], axis=0)
+        f[("fa_norm_scale",)] = u[("fast_attention", "norm", "scale")]
+        f[("fa_norm_bias",)] = u[("fast_attention", "norm", "bias")]
+        f[("fa_projection",)] = u[("fast_attention", "projection")]
+        # shared downstream params (proj_out/style/post_norm): copy all
+        for key, val in u.items():
+            if key[0] in ("pre_norm", "proj_out_0", "proj_out_1",
+                          "post_norm", "style_block"):
+                f[key] = val
+        pf = {"params": flax.traverse_util.unflatten_dict(f)}
+
+        out_f = fused.apply(pf, x, emb, mask)
+        out_u = unfused.apply(pu, x, emb, mask)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                                   atol=1e-5)
 
 
 class TestFlashCrossAttention:
