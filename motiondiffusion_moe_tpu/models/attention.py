@@ -183,22 +183,37 @@ class PerformerSelfAttention(nn.Module):
         attn_out = nn.Dense(D, kernel_init=init, dtype=self.dtype,
                             name="proj_out_1")(attn_out)
         attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
-        attn_out = nn.LayerNorm(dtype=self.dtype, name="post_norm")(attn_out)
 
-        # scale to unit sphere * sqrt(D) (fast_attention.py:169-171)
-        attn_out = attn_out / jnp.maximum(
-            jnp.linalg.norm(attn_out, axis=-1, keepdims=True), 1e-12)
-        attn_out = attn_out * (D ** 0.5)
-
+        # Epilogue: post-LN -> unit sphere * sqrt(D) (fast_attention.py:
+        # 163-178) -> StylizationBlock. Runs in float32 (torch-parity; the
+        # reference is f32 throughout) and, when no dropout is active, as
+        # ONE fused Pallas pass (performer_epilogue) instead of three
+        # HBM-roofline normalization passes.
+        post_scale = self.param("post_norm_scale", nn.initializers.ones,
+                                (D,))
+        post_bias = self.param("post_norm_bias", nn.initializers.zeros,
+                               (D,))
         # reference quirk: the module-wide xavier(0.1) re-init OVERRIDES the
         # zero-init of this style block's output layer (fast_attention.py:
         # 155-158 runs after StylizationBlock.__init__) — reproduced via
         # out_kernel_init.
-        style_out = StylizationBlock(
+        style = StylizationBlock(
             latent_dim=D, time_embed_dim=self.time_embed_dim,
             dropout=self.dropout, dtype=self.dtype,
-            out_kernel_init=init, emb_kernel_init=init,
-            name="style_block")(attn_out, emb, deterministic)
+            out_kernel_init=init, emb_kernel_init=init, name="style_block")
+        use_dropout = (not deterministic) and self.dropout > 0
+        if not use_dropout:
+            style_out = style(attn_out, emb, deterministic,
+                              pre_ln=(post_scale, post_bias))
+        else:
+            hf = attn_out.astype(jnp.float32)
+            mu = hf.mean(-1, keepdims=True)
+            var = ((hf - mu) ** 2).mean(-1, keepdims=True)
+            hf = (hf - mu) * jax.lax.rsqrt(var + 1e-6) * post_scale + post_bias
+            hf = hf / jnp.maximum(
+                jnp.linalg.norm(hf, axis=-1, keepdims=True), 1e-12)
+            hf = hf * (D ** 0.5)
+            style_out = style(hf.astype(self.dtype), emb, deterministic)
         return x + 0.1 * style_out
 
 
@@ -257,9 +272,13 @@ class LinearTemporalCrossAttention(nn.Module):
 
         xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         tn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
+        # The per-head q softmax runs on the FREE contiguous [B, T*H, dh]
+        # view: same elements, but the reduce sees standard (8, 128) tiling.
+        # Reducing in the [B, T, H, dh] layout tiles as T(4,128) (H=4
+        # sublanes) and ran 13x off the HBM roofline on v5e (profiled).
         q = jax.nn.softmax(
-            nn.Dense(D, dtype=self.dtype, name="query")(xn).reshape(B, T, H, -1),
-            axis=-1)
+            nn.Dense(D, dtype=self.dtype, name="query")(xn)
+            .reshape(B, T * H, -1), axis=-1).reshape(B, T, H, -1)
         k = jax.nn.softmax(
             nn.Dense(D, dtype=self.dtype, name="key")(tn).reshape(B, N, H, -1),
             axis=1)

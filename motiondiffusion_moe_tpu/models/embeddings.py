@@ -7,7 +7,7 @@ Capability match of ``text2motion/models/time.py``, ``gate.py``,
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -118,7 +118,9 @@ class StylizationBlock(nn.Module):
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, emb: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 pre_ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 ) -> jnp.ndarray:
         D = self.latent_dim
         dense_kw = ({"kernel_init": self.emb_kernel_init}
                     if self.emb_kernel_init is not None else {})
@@ -135,6 +137,20 @@ class StylizationBlock(nn.Module):
         b = self.param("out_bias", nn.initializers.zeros, (D,))
 
         use_dropout = (not deterministic) and self.dropout > 0
+        if pre_ln is not None:
+            # Fused Performer epilogue (fast_attention.py:163-178 chain +
+            # this block's LN/modulate): post-LN -> L2*sqrt(D) -> style-LN
+            # -> modulate -> SiLU in ONE memory pass; only the zero/xavier
+            # output matmul stays outside. Caller guarantees no dropout.
+            assert not use_dropout, "pre_ln fused path is deterministic-only"
+            from motiondiffusion_moe_tpu.ops.performer_pallas import (
+                performer_epilogue)
+
+            hmod = performer_epilogue(h, scale.astype(h.dtype),
+                                      shift.astype(h.dtype),
+                                      pre_ln[0], pre_ln[1],
+                                      ln_scale, ln_bias)
+            return hmod @ w.astype(self.dtype) + b.astype(self.dtype)
         if self.fused and not use_dropout:
             # fused LN+modulate+SiLU+Dense Pallas kernel
             from motiondiffusion_moe_tpu.ops.adaln_pallas import adaln_dense

@@ -343,7 +343,7 @@ def favor_qkv_reference(qkv: jnp.ndarray, ln_scale: jnp.ndarray,
 
 def _favor_qkv_kernel(qkv_ref, scale_ref, bias_ref, proj_ref, mask_ref,
                       out_ref, *, eps: float, pre_scale: float,
-                      num_heads: int):
+                      num_heads: int, group: int):
     scale = scale_ref[0].astype(jnp.float32)
     bias = bias_ref[0].astype(jnp.float32)
 
@@ -356,32 +356,56 @@ def _favor_qkv_kernel(qkv_ref, scale_ref, bias_ref, proj_ref, mask_ref,
         return x * jax.lax.rsqrt(jnp.maximum(
             jnp.sum(x * x, -1, keepdims=True), 1e-24))
 
-    x = qkv_ref[0]                       # [T, 3*H*D]
+    G = group
+    T = qkv_ref.shape[1]
     H = num_heads
     D = proj_ref.shape[0]
     HD = H * D
+    x = qkv_ref[:]                       # [G, T, 3*H*D]
     proj = proj_ref[:].astype(jnp.float32)
-    m1 = mask_ref[0]                     # [T, 1] f32
+    m1 = mask_ref[:].reshape(G * T, 1)   # [G*T, 1] f32
 
     for h in range(H):
         c = h * D
-        q = l2(ln(x[:, c:c + D].astype(jnp.float32) * pre_scale))
-        k = l2(ln(x[:, HD + c:HD + c + D].astype(jnp.float32) * pre_scale))
-        v = ln(x[:, 2 * HD + c:2 * HD + c + D].astype(jnp.float32)
-               * pre_scale)
+        # row-wise ops (LN/L2/feature maps) batch all G rows: [G*T, D]
+        q = l2(ln(x[:, :, c:c + D].astype(jnp.float32)
+                  .reshape(G * T, D) * pre_scale))
+        k = l2(ln(x[:, :, HD + c:HD + c + D].astype(jnp.float32)
+                  .reshape(G * T, D) * pre_scale))
+        v = ln(x[:, :, 2 * HD + c:2 * HD + c + D].astype(jnp.float32)
+               .reshape(G * T, D) * pre_scale)
         q_proj = jnp.exp(jnp.clip(jnp.dot(
             q, proj, preferred_element_type=jnp.float32), -15, 15)) * 0.1
         k_proj = jnp.exp(jnp.clip(jnp.dot(
             k, proj, preferred_element_type=jnp.float32), -15, 15)) * 0.1
         k_proj = k_proj * m1
-        kv = jnp.dot(k_proj.T, v, preferred_element_type=jnp.float32) * 0.1
-        qkv_h = jnp.dot(q_proj, kv, preferred_element_type=jnp.float32) * 0.1
         den = jnp.maximum(jnp.sum(q_proj * k_proj, -1, keepdims=True), eps)
-        out_ref[0, :, c:c + D] = ln(qkv_h / den).astype(out_ref.dtype)
+        if G == 1:
+            kv = jnp.dot(k_proj.T, v,
+                         preferred_element_type=jnp.float32) * 0.1
+            qkv_h = jnp.dot(q_proj, kv,
+                            preferred_element_type=jnp.float32) * 0.1
+            out_ref[0, :, c:c + D] = (ln(qkv_h / den)
+                                      .astype(out_ref.dtype))
+        else:
+            mf = q_proj.shape[-1]
+            qp3 = q_proj.reshape(G, T, mf)
+            kp3 = k_proj.reshape(G, T, mf)
+            v3 = v.reshape(G, T, D)
+            den3 = den.reshape(G, T, 1)
+            for g in range(G):
+                kv = jnp.dot(kp3[g].T, v3[g],
+                             preferred_element_type=jnp.float32) * 0.1
+                qkv_h = jnp.dot(qp3[g], kv,
+                                preferred_element_type=jnp.float32) * 0.1
+                out_ref[g, :, c:c + D] = (ln(qkv_h / den3[g])
+                                          .astype(out_ref.dtype))
 
 
 def _favor_qkv_pallas(qkv, ln_scale, ln_bias, projection, mask, eps: float,
                       pre_scale: float):
+    import os
+
     B, T, HD3 = qkv.shape
     HD = HD3 // 3
     D, m = projection.shape
@@ -391,21 +415,25 @@ def _favor_qkv_pallas(qkv, ln_scale, ln_bias, projection, mask, eps: float,
     else:
         maskf = mask.astype(jnp.float32).reshape(B, T, 1)
 
+    group = int(os.environ.get("FAVOR_QKV_GROUP", "1"))
+    if B % group != 0:
+        group = 1
+
     out = pl.pallas_call(
         functools.partial(_favor_qkv_kernel, eps=eps, pre_scale=pre_scale,
-                          num_heads=H),
+                          num_heads=H, group=group),
         out_shape=jax.ShapeDtypeStruct((B, T, HD), qkv.dtype),
-        grid=(B,),
+        grid=(B // group,),
         in_specs=[
-            pl.BlockSpec((1, T, HD3), lambda b: (b, 0, 0),
+            pl.BlockSpec((group, T, HD3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, m), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((group, T, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((group, T, HD), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * (2 * T * D * m + 2 * T * m * D),
@@ -446,6 +474,124 @@ def _favor_qkv_bwd(eps, pre_scale, residuals, g):
 
 
 favor_attention_qkv.defvjp(_favor_qkv_fwd, _favor_qkv_bwd)
+
+
+# ===========================================================================
+# Fused Performer epilogue: post-LN -> L2*sqrt(D) -> style-LN -> modulate
+# ===========================================================================
+#
+# After the Performer's proj_out MLP the block runs THREE consecutive
+# normalization passes over [B, T, D] with only elementwise math between
+# them (fast_attention.py:163-178 + stylization.py:26-28):
+#
+#   y -> LayerNorm(post) -> y/||y|| * sqrt(D) -> LayerNorm(style)
+#     -> * (1+scale) + shift -> SiLU
+#
+# Each LN/L2 pass is individually at the HBM roofline (~25 MB read+write at
+# the flagship shape), so 3 passes = 3x the traffic of the math's true
+# working set. This kernel runs the whole chain VMEM-resident: one read,
+# one write. The style matmul + residual stay outside (XLA fuses them).
+
+
+def performer_epilogue_reference(y: jnp.ndarray, scale: jnp.ndarray,
+                                 shift: jnp.ndarray,
+                                 post_scale: jnp.ndarray,
+                                 post_bias: jnp.ndarray,
+                                 style_scale: jnp.ndarray,
+                                 style_bias: jnp.ndarray) -> jnp.ndarray:
+    """Pure-JAX reference. y: [B, T, D]; scale/shift: [B, D] (style
+    modulation); *_scale/_bias: [D] LN params. Returns [B, T, D] in
+    y.dtype."""
+    D = y.shape[-1]
+    yf = y.astype(jnp.float32)
+
+    def ln(x, s, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return ((x - mu) * jax.lax.rsqrt(var + LN_EPS)
+                * s.astype(jnp.float32) + b.astype(jnp.float32))
+
+    h = ln(yf, post_scale, post_bias)
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    h = h * (D ** 0.5)
+    h = ln(h, style_scale, style_bias)
+    h = h * (1 + scale[:, None, :].astype(jnp.float32)) \
+        + shift[:, None, :].astype(jnp.float32)
+    return (h * jax.nn.sigmoid(h)).astype(y.dtype)     # SiLU
+
+
+def _epilogue_kernel(y_ref, scale_ref, shift_ref, ps_ref, pb_ref, ss_ref,
+                     sb_ref, out_ref):
+    D = y_ref.shape[-1]
+
+    def ln(x, s, b):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * s + b
+
+    y = y_ref[0].astype(jnp.float32)                     # [T, D]
+    h = ln(y, ps_ref[0].astype(jnp.float32), pb_ref[0].astype(jnp.float32))
+    h = h / jnp.maximum(
+        jnp.sqrt(jnp.sum(h * h, -1, keepdims=True)), 1e-12)
+    h = h * (D ** 0.5)
+    h = ln(h, ss_ref[0].astype(jnp.float32), sb_ref[0].astype(jnp.float32))
+    h = h * (1 + scale_ref[0, 0].astype(jnp.float32)) \
+        + shift_ref[0, 0].astype(jnp.float32)
+    out_ref[0] = (h * jax.nn.sigmoid(h)).astype(out_ref.dtype)
+
+
+def _epilogue_pallas(y, scale, shift, post_scale, post_bias, style_scale,
+                     style_bias):
+    B, T, D = y.shape
+    vec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _epilogue_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), y.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec, vec, vec,
+        ],
+        out_specs=pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * T * D,
+            bytes_accessed=2 * B * T * D * y.dtype.itemsize,
+            transcendentals=B * T * D,
+        ),
+    )(y, scale.reshape(B, 1, D), shift.reshape(B, 1, D),
+      post_scale.reshape(1, D), post_bias.reshape(1, D),
+      style_scale.reshape(1, D), style_bias.reshape(1, D))
+    return out
+
+
+@jax.custom_vjp
+def performer_epilogue(y, scale, shift, post_scale, post_bias, style_scale,
+                       style_bias):
+    """Fused Performer epilogue chain (see comment above). Pallas on TPU,
+    pure-JAX elsewhere; backward differentiates the reference."""
+    return jax.lax.platform_dependent(
+        y, scale, shift, post_scale, post_bias, style_scale, style_bias,
+        tpu=_epilogue_pallas,
+        default=performer_epilogue_reference,
+    )
+
+
+def _epilogue_fwd(*args):
+    return performer_epilogue(*args), args
+
+
+def _epilogue_bwd(residuals, g):
+    _, vjp = jax.vjp(performer_epilogue_reference, *residuals)
+    return vjp(g)
+
+
+performer_epilogue.defvjp(_epilogue_fwd, _epilogue_bwd)
 
 
 def _favor_bwd(eps, residuals, g):

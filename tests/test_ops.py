@@ -117,7 +117,7 @@ def _favor_qkv_interpret(qkv, ln_scale, ln_bias, proj, mask,
              else mask.astype(jnp.float32).reshape(B, T, 1))
     return pl.pallas_call(
         ft.partial(_favor_qkv_kernel, eps=eps, pre_scale=pre_scale,
-                   num_heads=H),
+                   num_heads=H, group=1),
         out_shape=jax.ShapeDtypeStruct((B, T, HD), qkv.dtype),
         grid=(B,),
         in_specs=[
@@ -173,6 +173,83 @@ class TestFavorQKVKernel:
                                        atol=1e-5)
 
 
+class TestPerformerEpilogue:
+    def _inputs(self, B=3, T=10, D=16):
+        ks = jax.random.split(jax.random.key(5), 7)
+        y = jax.random.normal(ks[0], (B, T, D))
+        scale = 0.3 * jax.random.normal(ks[1], (B, D))
+        shift = 0.3 * jax.random.normal(ks[2], (B, D))
+        ps = 1 + 0.1 * jax.random.normal(ks[3], (D,))
+        pb = 0.1 * jax.random.normal(ks[4], (D,))
+        ss = 1 + 0.1 * jax.random.normal(ks[5], (D,))
+        sb = 0.1 * jax.random.normal(ks[6], (D,))
+        return y, scale, shift, ps, pb, ss, sb
+
+    def test_kernel_matches_reference(self):
+        from motiondiffusion_moe_tpu.ops.performer_pallas import (
+            _epilogue_kernel, performer_epilogue_reference)
+        import functools as ft
+
+        y, scale, shift, ps, pb, ss, sb = self._inputs()
+        B, T, D = y.shape
+        vec = pl.BlockSpec((1, D), lambda b: (0, 0))
+        out = pl.pallas_call(
+            _epilogue_kernel,
+            out_shape=jax.ShapeDtypeStruct((B, T, D), y.dtype),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, T, D), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0)),
+                vec, vec, vec, vec,
+            ],
+            out_specs=pl.BlockSpec((1, T, D), lambda b: (b, 0, 0)),
+            interpret=True,
+        )(y, scale.reshape(B, 1, D), shift.reshape(B, 1, D),
+          ps.reshape(1, D), pb.reshape(1, D),
+          ss.reshape(1, D), sb.reshape(1, D))
+        ref = performer_epilogue_reference(y, scale, shift, ps, pb, ss, sb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_reference_matches_module_chain(self):
+        """epilogue == LN -> L2*sqrt(D) -> LN -> modulate -> SiLU."""
+        from motiondiffusion_moe_tpu.ops.performer_pallas import (
+            performer_epilogue_reference)
+
+        y, scale, shift, ps, pb, ss, sb = self._inputs()
+        D = y.shape[-1]
+
+        def ln(x, s, b):
+            mu = x.mean(-1, keepdims=True)
+            var = ((x - mu) ** 2).mean(-1, keepdims=True)
+            return (x - mu) * jax.lax.rsqrt(var + 1e-6) * s + b
+
+        h = ln(y, ps, pb)
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+        h = h * D ** 0.5
+        h = ln(h, ss, sb)
+        h = h * (1 + scale[:, None, :]) + shift[:, None, :]
+        want = jax.nn.silu(h)
+        got = performer_epilogue_reference(y, scale, shift, ps, pb, ss, sb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+    def test_vjp_matches_reference(self):
+        from motiondiffusion_moe_tpu.ops.performer_pallas import (
+            performer_epilogue, performer_epilogue_reference)
+
+        args = self._inputs(B=2, T=6, D=8)
+        g1 = jax.grad(lambda *a: jnp.sum(performer_epilogue(*a) ** 2),
+                      argnums=tuple(range(7)))(*args)
+        g2 = jax.grad(
+            lambda *a: jnp.sum(performer_epilogue_reference(*a) ** 2),
+            argnums=tuple(range(7)))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
 class TestFusedVsModulePerformer:
     def test_fused_equals_unfused_with_grafted_params(self):
         """The merged-QKV fused path must equal the module (FastAttention)
@@ -210,7 +287,8 @@ class TestFusedVsModulePerformer:
         # shared downstream params (proj_out/style/post_norm): copy all
         for key, val in u.items():
             if key[0] in ("pre_norm", "proj_out_0", "proj_out_1",
-                          "post_norm", "style_block"):
+                          "post_norm_scale", "post_norm_bias",
+                          "style_block"):
                 f[key] = val
         pf = {"params": flax.traverse_util.unflatten_dict(f)}
 
