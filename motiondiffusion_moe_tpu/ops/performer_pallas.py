@@ -147,6 +147,14 @@ def _favor_fwd(q, k, v, projection, mask, eps):
 
 LN_EPS = 1e-6  # flax.linen.LayerNorm default
 
+# Negative results (measured end-to-end on v5e, 50-step DDIM bench):
+# - A standalone one-pass Pallas LayerNorm swapped for the hot
+#   nn.LayerNorms (XLA's convert_reduce lowering profiles ~4.5x off
+#   roofline): 17.33 -> 17.19 all-sites, 17.11 DualBlock-only. The
+#   pallas_call fusion barrier costs more than the one-pass saves.
+# - Grouping G batch rows per favor_attention_qkv grid cell
+#   (FAVOR_QKV_GROUP): G=2 15.2, G=4 14.9 vs G=1 16.0.
+
 
 def favor_full_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
