@@ -32,6 +32,7 @@ class DataConfig:
     feat_bias: float = 25.0            # root-vel/foot-contact std divisor (dataset1.py:82-104)
     times: int = 1                     # dataset duplication multiplier (dataset1.py:118-119)
     max_text_len: int = 20             # GloVe token cap for the eval pathway
+    use_native_io: bool = True         # C++ batch assembly (native/motionio.cc); falls back to Python
 
     @staticmethod
     def humanml3d(**kw: Any) -> "DataConfig":

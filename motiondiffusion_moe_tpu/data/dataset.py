@@ -61,7 +61,8 @@ class Text2MotionDataset:
     def __init__(self, cfg: DataConfig, split: str = "train",
                  normalizer: Optional[MotionNormalizer] = None,
                  times: Optional[int] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 use_native: Optional[bool] = None):
         self.cfg = cfg
         self.times = times if times is not None else cfg.times
         self.rng = random.Random(seed)
@@ -135,6 +136,50 @@ class Text2MotionDataset:
                 all_frames.std(axis=0), cfg.num_joints, cfg.feat_bias)
             normalizer = MotionNormalizer(mean, std)
         self.normalizer = normalizer
+
+        # native (C++) batch assembly: register raw motions once, then
+        # crop+pad+normalize per batch in GIL-free threads (data/native.py)
+        self._store = None
+        self._native_idx: Dict[str, int] = {}
+        if use_native if use_native is not None else cfg.use_native_io:
+            try:
+                from motiondiffusion_moe_tpu.data import native as native_mod
+                if native_mod.native_available():
+                    store = native_mod.NativeMotionStore()
+                    for name in self.name_list:
+                        self._native_idx[name] = store.add_array(
+                            self.data_dict[name]["motion"])
+                    self._store = store
+            except Exception:
+                self._store = None
+
+    @property
+    def has_native(self) -> bool:
+        return self._store is not None
+
+    def get_batch(self, indices: List[int], seed: int
+                  ) -> Tuple[List[str], np.ndarray, np.ndarray]:
+        """Assemble (captions, motions[B, max_len, D], lengths[B]) natively.
+
+        Caption choice stays in Python (cheap, shares ``self.rng`` with the
+        per-item path); motion crop/pad/normalize runs in C++ threads with
+        crops drawn deterministically from ``seed``. Falls back to the
+        per-item Python path when the shared library is unavailable.
+        """
+        if self._store is None:
+            from motiondiffusion_moe_tpu.data.loader import collate
+            return collate([self[i] for i in indices])
+        captions: List[str] = []
+        store_idx: List[int] = []
+        for item in indices:
+            idx = item % self.real_len()
+            name = self.name_list[idx]
+            captions.append(self.rng.choice(self.data_dict[name]["text"]).caption)
+            store_idx.append(self._native_idx[name])
+        motions, lengths = self._store.assemble_batch(
+            store_idx, self.cfg.max_motion_length,
+            self.normalizer.mean, self.normalizer.std, seed=seed)
+        return captions, motions, lengths
 
     # ------------------------------------------------------------------
     def real_len(self) -> int:

@@ -91,14 +91,29 @@ class DataLoader:
             n / self.batch_size)
 
     def _batches(self) -> Iterator[Batch]:
+        native = getattr(self.dataset, "has_native", False)
         buf: List = []
+        n_batch = 0
+
+        def emit(idxs: List[int]) -> Batch:
+            nonlocal n_batch
+            if native:
+                # deterministic per-batch crop seed: (seed, epoch, batch#)
+                seed = ((self.sampler.seed * 1_000_003
+                         + self.sampler.epoch) * 131 + n_batch) & 0x7FFFFFFF
+                b = self.dataset.get_batch(idxs, seed=seed)
+            else:
+                b = collate([self.dataset[i] for i in idxs])
+            n_batch += 1
+            return b
+
         for idx in self.sampler:
-            buf.append(self.dataset[idx])
+            buf.append(idx)
             if len(buf) == self.batch_size:
-                yield collate(buf)
+                yield emit(buf)
                 buf = []
         if buf and not self.drop_last:
-            yield collate(buf)
+            yield emit(buf)
 
     def __iter__(self) -> Iterator[Batch]:
         if not self.prefetch:

@@ -40,7 +40,10 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # always invoke make: it is a no-op when the .so is fresh and rebuilds
+    # it when motionio.cc changed (a stale binary would silently diverge)
+    built = _build()
+    if not built and not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.motionio_create.restype = ctypes.c_void_p

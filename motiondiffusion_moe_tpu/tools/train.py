@@ -60,6 +60,8 @@ def build_argparser() -> argparse.ArgumentParser:
                         " backend, single-device on CPU)")
     p.add_argument("--synthetic_size", type=int, default=256,
                    help="synthetic dataset size (dataset=synthetic)")
+    p.add_argument("--no_native_io", action="store_true",
+                   help="disable the C++ batch-assembly data plane")
     return p
 
 
@@ -69,9 +71,12 @@ def config_from_args(args: argparse.Namespace):
         ParallelConfig, TrainConfig)
 
     if args.dataset == "kit":
-        data = DataConfig.kit(data_root=args.data_root, times=args.times)
+        data = DataConfig.kit(data_root=args.data_root, times=args.times,
+                              use_native_io=not args.no_native_io)
     else:
-        data = DataConfig.humanml3d(data_root=args.data_root, times=args.times)
+        data = DataConfig.humanml3d(data_root=args.data_root,
+                                    times=args.times,
+                                    use_native_io=not args.no_native_io)
 
     # "big" doubles latent/ff/text dims (transformer.py:188-192)
     mult = 2 if args.model_size == "big" else 1

@@ -178,6 +178,10 @@ int64_t motionio_item_rows(void* h, int64_t idx) {
 //   seed         deterministic crop randomness
 //   out[B*max_len*D], out_lengths[B]
 // Multithreaded over batch rows. Returns 0 on success.
+//
+// Padding rows are normalized zeros, i.e. (0 - mean)/std: the reference
+// (datasets1/dataset1.py:134-141) zero-pads FIRST and normalizes the whole
+// [max_len, D] window, so padding is -mean/std, not 0.
 int motionio_assemble_batch(void* h, const int64_t* indices, int64_t batch,
                             int64_t max_len, const float* mean,
                             const float* std, uint64_t seed, float* out,
@@ -188,6 +192,8 @@ int motionio_assemble_batch(void* h, const int64_t* indices, int64_t batch,
     if (indices[b] < 0 || indices[b] >= n_items) return -1;
   }
   const int64_t D = reg->motions.empty() ? 0 : reg->motions[0].cols;
+  std::vector<float> pad_row(D);
+  for (int64_t d = 0; d < D; ++d) pad_row[d] = (0.0f - mean[d]) / std[d];
 
   std::atomic<int64_t> next(0);
   auto worker = [&]() {
@@ -212,8 +218,8 @@ int motionio_assemble_batch(void* h, const int64_t* indices, int64_t batch,
           drow[d] = (row[d] - mean[d]) / std[d];
         }
       }
-      if (len < max_len) {
-        memset(dst + len * D, 0, sizeof(float) * (max_len - len) * D);
+      for (int64_t t = len; t < max_len; ++t) {
+        memcpy(dst + t * D, pad_row.data(), sizeof(float) * D);
       }
     }
   };

@@ -10,6 +10,8 @@ import os
 # Force, don't setdefault: the ambient environment pins JAX_PLATFORMS=axon
 # (the real TPU tunnel) and tests must stay off the hardware.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# subprocess-spawning tests must not boot the tunnel either
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +20,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize (interpreter start, before this file) calls
+# jax.config.update("jax_platforms", "axon,cpu"), which OVERRIDES the
+# JAX_PLATFORMS env var — force the config back to cpu before any
+# backend initializes.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -1,0 +1,147 @@
+"""bf16-vs-f32 numerics coverage (VERDICT r1 item 9).
+
+``dtype="bfloat16"`` is the shipping default (config.py ModelConfig.dtype);
+these tests quantify the drift it introduces on the three surfaces where a
+silent bf16 bug would hurt quality: MoE routing decisions (top-k index
+flips under low-precision gate logits), the single forward pass, and the
+end-to-end DDIM sampler output. Measured drift is documented in
+DIVERGENCES.md ("bf16 compute dtype").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motiondiffusion_moe_tpu.config import ModelConfig
+from motiondiffusion_moe_tpu.models.moe import SwitchMoELayer
+from motiondiffusion_moe_tpu.models.text_encoder import hash_tokenize
+from motiondiffusion_moe_tpu.models.transformer import MotionTransformer
+
+
+def _routing_indices(dtype, x, gate_kernel, gate_bias):
+    layer = SwitchMoELayer(latent_dim=x.shape[-1], hidden_dim=64,
+                           num_experts=8, top_k=2, dtype=dtype)
+    params = layer.init({"params": jax.random.key(0)}, x)
+    params = jax.tree_util.tree_map(lambda p: p, params)
+    # install a realistic (non-zero) trained-looking gate
+    params["params"]["gate"]["kernel"] = gate_kernel
+    params["params"]["gate"]["bias"] = gate_bias
+
+    # recompute the router decision exactly as the layer does
+    xf = x.reshape(-1, x.shape[-1]).astype(dtype)
+    logits = xf @ gate_kernel.astype(dtype) + gate_bias.astype(dtype)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    _, top_idx = jax.lax.top_k(probs, 2)
+    # and make sure the layer still runs end-to-end with these params
+    out = layer.apply(params, x, mutable=["moe_losses", "moe_metrics"])[0]
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    return np.asarray(top_idx)
+
+
+class TestMoERoutingBf16:
+    def test_topk_flip_rate_under_bf16_gate(self):
+        """bf16 gate logits must agree with f32 on almost all tokens.
+
+        Routing flips are the classic silent bf16 quality bug: the model
+        trains fine but sends tokens to different experts than eval. We
+        measure the top-2 index flip rate on 4096 realistic tokens and a
+        trained-scale gate; drift budget 2%."""
+        D = 512
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((8, 512, D)), jnp.float32)
+        gate_kernel = jnp.asarray(0.05 * rng.standard_normal((D, 8)),
+                                  jnp.float32)
+        gate_bias = jnp.asarray(0.01 * rng.standard_normal((8,)), jnp.float32)
+
+        idx_f32 = _routing_indices(jnp.float32, x, gate_kernel, gate_bias)
+        idx_bf16 = _routing_indices(jnp.bfloat16, x, gate_kernel, gate_bias)
+
+        # order-insensitive top-2 set agreement per token
+        set_f32 = np.sort(idx_f32, axis=-1)
+        set_bf16 = np.sort(idx_bf16, axis=-1)
+        flips = np.any(set_f32 != set_bf16, axis=-1)
+        flip_rate = flips.mean()
+        assert flip_rate < 0.02, f"top-2 flip rate {flip_rate:.4f} >= 2%"
+
+
+def _tiny_cfg(dtype: str) -> ModelConfig:
+    return ModelConfig(input_feats=26, max_frames=32, latent_dim=128,
+                       ff_size=64, num_layers=2, num_heads=4, num_experts=4,
+                       text_latent_dim=32, num_random_features=32,
+                       text_max_tokens=8, dtype=dtype)
+
+
+def _forward(dtype: str, x, ids, t, length):
+    cfg = _tiny_cfg(dtype)
+    model = MotionTransformer(config=cfg)
+    params = model.init({"params": jax.random.key(0)}, x[:1], t[:1],
+                        length[:1], text_ids=ids[:1])
+    out = model.apply(params, x, t, length, text_ids=ids,
+                      mutable=["moe_losses", "moe_metrics"])[0]
+    return np.asarray(out, np.float32)
+
+
+class TestForwardBf16Drift:
+    def test_forward_matches_f32_within_tolerance(self):
+        """Same params (init is dtype-independent), same inputs: bf16
+        forward must track f32 closely. The output head is zero-init so
+        fresh-init outputs are ~0; perturb by running on non-trivial noise
+        input and compare activations via the full output after one
+        gradient-free apply."""
+        rng = np.random.default_rng(1)
+        B, T, D = 4, 32, 26
+        x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+        ids = jnp.asarray(hash_tokenize(
+            ["a person walks", "a person jumps", "x", "y"], max_tokens=8))
+        t = jnp.asarray([0, 250, 500, 999], jnp.int32)
+        length = jnp.asarray([32, 20, 16, 32], jnp.int32)
+
+        out32 = _forward("float32", x, ids, t, length)
+        out16 = _forward("bfloat16", x, ids, t, length)
+        assert np.isfinite(out16).all()
+        # zero-init out head -> tiny outputs; compare on absolute scale
+        # relative to the f32 dynamic range
+        scale = np.abs(out32).max() + 1e-12
+        rel = np.abs(out16 - out32).max() / scale
+        assert rel < 0.15, f"bf16 forward drift {rel:.4f} vs f32"
+
+
+@pytest.mark.slow
+class TestSamplerBf16Drift:
+    def test_ddim_sampler_output_drift(self):
+        """5-step DDIM end-to-end: bf16 samples stay finite and close to the
+        f32 trajectory (same params, same noise)."""
+        from motiondiffusion_moe_tpu.config import (
+            DataConfig, DiffusionConfig, ExperimentConfig, ParallelConfig,
+            TrainConfig)
+        from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
+
+        outs = {}
+        for dtype in ("float32", "bfloat16"):
+            mc = _tiny_cfg(dtype)
+            cfg = ExperimentConfig(
+                name="bf16drift", data=DataConfig(dim_pose=26),
+                diffusion=DiffusionConfig(), model=mc, train=TrainConfig(),
+                parallel=ParallelConfig())
+            model = MotionTransformer(config=mc)
+            x = jnp.zeros((1, mc.max_frames, mc.input_feats))
+            ids = jnp.asarray(hash_tokenize(["w"], mc.text_max_tokens))
+            params = model.init({"params": jax.random.key(0)}, x,
+                                jnp.zeros((1,), jnp.int32),
+                                jnp.full((1,), mc.max_frames, jnp.int32),
+                                text_ids=ids)
+            pipe = GenerationPipeline(cfg, model, params, sampler="ddim",
+                                      num_inference_steps=5, micro_batch=2)
+            res = pipe.generate(["a person walks", "a person turns"],
+                                [32, 24], rng=jax.random.key(7))
+            outs[dtype] = [np.asarray(r, np.float32) for r in res]
+
+        for a, b in zip(outs["float32"], outs["bfloat16"]):
+            assert a.shape == b.shape
+            assert np.isfinite(b).all()
+            denom = np.abs(a).max() + 1e-6
+            drift = np.abs(a - b).max() / denom
+            # x_t stays ~N(0,1)-scale through DDIM; bf16 mantissa (8 bits)
+            # compounds over 5 steps x 2 scales x 2 layers
+            assert drift < 0.25, f"sampler bf16 drift {drift:.4f}"
