@@ -20,6 +20,12 @@ import time
 BASELINE_MOTIONS_PER_SEC = 1.0 / 0.31
 
 
+def _log(msg: str) -> None:
+    import sys
+    import time as _t
+    print(f"# [{_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main() -> None:
     import contextlib
     import io
@@ -30,9 +36,19 @@ def main() -> None:
     # stdout captured and emit the result at the end.
     captured = io.StringIO()
     with contextlib.redirect_stdout(captured):
-        result, diag = _run()
-    print(json.dumps(result))
-    print(diag, file=sys.stderr)
+        result, diag, train_diag_fn = _run()
+    # emit the headline IMMEDIATELY: the train-step diagnostic below can
+    # involve a multi-minute XLA compile and must never hold it hostage
+    print(json.dumps(result), flush=True)
+    print(diag, file=sys.stderr, flush=True)
+    if train_diag_fn is not None:
+        try:
+            with contextlib.redirect_stdout(captured):
+                train_line = train_diag_fn()
+            print(train_line, file=sys.stderr, flush=True)
+        except Exception as e:  # diagnostics only — never sink the headline
+            print(f"# train-step bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
     noise = captured.getvalue().strip()
     if noise:
         print(f"# suppressed stdout: {noise[:500]}", file=sys.stderr)
@@ -61,16 +77,25 @@ def _run():
 
     model = MotionTransformer(config=cfg.model)
 
-    # init on the host CPU backend (fast compile), then ship to the chip
+    # Benchmark params: zeros in the real param tree shapes, created
+    # directly on the chip. TPU timing is value-independent, and real init
+    # of the 363M flagship costs minutes (XLA:CPU compile of the init
+    # program / eager init on the 1-core host) every time a model change
+    # invalidates the compilation cache — which would blow the driver's
+    # bench budget.
     from motiondiffusion_moe_tpu.models.text_encoder import hash_tokenize
     B, T, D = batch, cfg.model.max_frames, cfg.model.input_feats
     x = jnp.zeros((1, T, D))
     ids0 = jnp.asarray(hash_tokenize(["warmup"], cfg.model.text_max_tokens))
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        params = jax.jit(lambda k: model.init(
-            {"params": k}, x, jnp.zeros((1,), jnp.int32),
-            jnp.full((1,), T, jnp.int32), text_ids=ids0))(jax.random.key(0))
-    params = jax.device_put(params, jax.devices()[0])
+    shapes = jax.eval_shape(
+        lambda k: model.init({"params": k}, x, jnp.zeros((1,), jnp.int32),
+                             jnp.full((1,), T, jnp.int32), text_ids=ids0),
+        jax.random.key(0))
+    _log("creating zero params on device...")
+    params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+    jax.block_until_ready(params)
+    _log("params ready")
 
     pipe = GenerationPipeline(cfg, model, params, sampler="ddim",
                               num_inference_steps=steps, micro_batch=B)
@@ -78,13 +103,17 @@ def _run():
     lens = [T] * B
 
     # warmup/compile
+    _log("compiling sampler...")
     t0 = time.time()
     pipe.generate(captions, lens, rng=jax.random.key(0))
     compile_s = time.time() - t0
+    _log(f"sampler compiled in {compile_s:.1f}s; timing...")
 
+    # one generate over reps*B prompts: micro-batches are dispatched
+    # asynchronously, so chunk i+1's compute overlaps chunk i's fetch
+    # (the pipeline's serving behavior)
     t0 = time.time()
-    for r in range(reps):
-        pipe.generate(captions, lens, rng=jax.random.key(r + 1))
+    pipe.generate(captions * reps, lens * reps, rng=jax.random.key(1))
     elapsed = time.time() - t0
 
     motions_per_sec = (B * reps) / elapsed
@@ -96,7 +125,80 @@ def _run():
     }
     diag = (f"# compile={compile_s:.1f}s run={elapsed:.2f}s batch={B} "
             f"steps={steps} layers={layers} backend={jax.default_backend()}")
-    return result, diag
+
+    train_diag_fn = None
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        train_diag_fn = lambda: _train_diag(cfg, model, params, B, T, D)
+    return result, diag, train_diag_fn
+
+
+def _train_diag(cfg, model, params, B, T, D) -> str:
+    """Flagship train-step benchmark (diagnostics only, stderr):
+    step time at the training batch size, motion-frames/s, and an MFU
+    estimate from XLA's cost analysis. Training is the reference's hot
+    loop (trainers/ddpm_trainer.py:313-352) — without this number,
+    training-perf regressions are invisible to the driver loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from motiondiffusion_moe_tpu.diffusion import make_schedule
+    from motiondiffusion_moe_tpu.models.text_encoder import hash_tokenize
+    from motiondiffusion_moe_tpu.training.train_state import (
+        TrainState, make_optimizer, make_train_step)
+
+    sched = make_schedule(schedule_name=cfg.diffusion.beta_schedule,
+                          num_timesteps=cfg.diffusion.num_timesteps)
+    tx = make_optimizer(cfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=jax.device_put(
+                           tx.init(params), jax.devices()[0]), tx=tx)
+
+    batch = {
+        "motion": jnp.zeros((B, T, D), jnp.float32),
+        "length": jnp.full((B,), T, jnp.int32),
+        "text_ids": jnp.asarray(hash_tokenize(
+            ["a person walks"] * B, cfg.model.text_max_tokens)),
+        "t": jnp.linspace(0, 999, B).astype(jnp.int32),
+        "t_weight": jnp.ones((B,), jnp.float32),
+    }
+    rng = jax.random.key(0)
+
+    # ONE lower+compile serves both the FLOP estimate (cost_analysis) and
+    # the timed steps — a second independent compile of the flagship
+    # forward+backward costs minutes through the remote-compile tunnel.
+    _log("compiling train step...")
+    t0 = time.time()
+    compiled = jax.jit(make_train_step(model, sched, cfg, jit=False),
+                       donate_argnums=(0,)).lower(state, batch, rng).compile()
+    compile_s = time.time() - t0
+    _log(f"train step compiled in {compile_s:.1f}s; timing...")
+    flops = None
+    try:
+        cost = compiled.cost_analysis()
+        if cost:
+            flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    step_fn = compiled
+
+    state, _ = step_fn(state, batch, rng)
+    jax.block_until_ready(state.step)
+
+    reps = int(os.environ.get("BENCH_TRAIN_REPS", "5"))
+    t0 = time.time()
+    for _ in range(reps):
+        state, metrics = step_fn(state, batch, rng)
+    jax.block_until_ready(state.step)
+    step_s = (time.time() - t0) / reps
+
+    frames_per_s = B * T / step_s
+    out = (f"# train: step={step_s*1000:.1f}ms batch={B} "
+           f"frames/s={frames_per_s:.0f} compile={compile_s:.1f}s")
+    if flops:
+        # v5e bf16 peak ~197 TFLOP/s
+        mfu = flops / step_s / 197e12
+        out += f" flops/step={flops/1e9:.1f}G mfu={mfu*100:.1f}%"
+    return out
 
 
 if __name__ == "__main__":

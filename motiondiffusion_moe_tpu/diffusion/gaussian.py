@@ -115,8 +115,8 @@ def make_schedule(betas: Optional[np.ndarray] = None,
     fixed_large_variance = np.append(posterior_variance[1], betas[1:])
     fixed_large_log_variance = np.log(fixed_large_variance)
 
-    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
-    return DiffusionSchedule(
+    f32 = lambda a: np.asarray(a, dtype=np.float32)
+    host = DiffusionSchedule(
         betas=f32(betas),
         alphas_cumprod=f32(alphas_cumprod),
         alphas_cumprod_prev=f32(alphas_cumprod_prev),
@@ -133,6 +133,14 @@ def make_schedule(betas: Optional[np.ndarray] = None,
         fixed_large_variance=f32(fixed_large_variance),
         fixed_large_log_variance=f32(fixed_large_log_variance),
     )
+    # Materialize the whole pytree in ONE jitted program instead of 15
+    # eager jnp.asarray converts: each eager convert is its own tiny
+    # program + transfer, and through a remote-chip tunnel those round
+    # trips cost seconds EACH (measured: minutes of pipeline-construction
+    # stall). One program, one round trip.
+    import jax
+    return jax.jit(
+        lambda: jax.tree_util.tree_map(jnp.asarray, host))()
 
 
 def _extract(coef: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
@@ -141,7 +149,9 @@ def _extract(coef: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     Vectorized replacement for ``_extract_into_tensor``
     (``gaussian_diffusion.py:329-341``).
     """
-    out = coef[t].astype(jnp.float32)
+    # jnp.asarray: tables are host numpy (embedded as constants at trace
+    # time); a raw numpy gather with a traced t would fail
+    out = jnp.asarray(coef)[t].astype(jnp.float32)
     return out.reshape(out.shape + (1,) * (ndim - out.ndim))
 
 

@@ -63,7 +63,9 @@ def _map_t(timestep_map: Optional[jnp.ndarray], t: jnp.ndarray) -> jnp.ndarray:
     """Respaced step index -> original-scale timestep for model conditioning."""
     if timestep_map is None:
         return t
-    return timestep_map[t]
+    # jnp.asarray: the map may be host numpy (a trace-time constant);
+    # numpy can't be indexed with a traced t
+    return jnp.asarray(timestep_map)[t]
 
 
 def _nonzero_mask(t: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:

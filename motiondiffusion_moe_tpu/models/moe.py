@@ -112,11 +112,22 @@ class SwitchMoELayer(nn.Module):
                 combine_se = combine_se + (
                     jax.nn.one_hot(top_idx[:, j], E, dtype=self.dtype)
                     * top_vals[:, j:j + 1])
-            h = jnp.einsum("sd,edh->esh", x_flat.astype(self.dtype), w1) \
-                + b1[:, None, :]
+            # All-experts compute as TWO stacked matmuls (MXU-shaped):
+            #   [S, D] @ [D, E*hid] -> gelu -> (weight by combine) ->
+            #   [S, E*hid] @ [E*hid, D].
+            # Weighting the HIDDEN activations by combine_se before the
+            # second matmul is algebraically identical to combining the
+            # per-expert outputs (linearity), but never materializes the
+            # [E, S, D] output tensor — ~2/3 less intermediate HBM traffic
+            # than the per-expert einsum chain and far bigger matmuls.
+            hid = self.hidden_dim
+            w1m = jnp.transpose(w1, (1, 0, 2)).reshape(D, E * hid)
+            h = (x_flat.astype(self.dtype) @ w1m).reshape(S, E, hid) \
+                + b1[None, :, :]
             h = nn.gelu(h)
-            y = jnp.einsum("esh,ehd->esd", h, w2) + b2[:, None, :]
-            out = jnp.einsum("esd,se->sd", y, combine_se)
+            h = h * combine_se[:, :, None]
+            out = h.reshape(S, E * hid) @ w2.reshape(E * hid, D) \
+                + combine_se @ b2
         elif self.compute == "dispatch":
             out = _capacity_dispatch_ffn(
                 x_flat.astype(self.dtype), top_idx, top_vals,

@@ -73,7 +73,9 @@ class GenerationPipeline:
                 np.asarray(base.betas, dtype=np.float64),
                 space_timesteps(cfg.diffusion.num_timesteps,
                                 f"ddim{num_inference_steps}"))
-            self.timestep_map = jnp.asarray(tmap)
+            # host numpy: embeds as a constant at trace time (an eager
+            # jnp.asarray would be a blocking device transfer here)
+            self.timestep_map = np.asarray(tmap)
         else:
             self.sched = base
             self.timestep_map = None
@@ -148,7 +150,11 @@ class GenerationPipeline:
         N = len(captions)
         mb = self.micro_batch
         uncond_ids = self.tokenize([""] * mb)
-        outputs: List[np.ndarray] = []
+        # Dispatch ALL micro-batches first (jax dispatch is async), then
+        # fetch: chunk i+1's device compute overlaps chunk i's host
+        # transfer, and the remote-chip transfer latency is hidden behind
+        # compute instead of serialized after every chunk.
+        pending = []
         for start in range(0, N, mb):
             chunk = list(captions[start: start + mb])
             lens = list(m_lens[start: start + mb])
@@ -164,6 +170,10 @@ class GenerationPipeline:
                 jnp.asarray(np.minimum(lens, self.cfg.model.max_frames)
                             .astype(np.int32)),
                 key)
+            pending.append((motions, lens, n))
+
+        outputs: List[np.ndarray] = []
+        for motions, lens, n in pending:
             motions = np.asarray(motions)
             for i in range(n):
                 outputs.append(motions[i, : int(min(lens[i], motions.shape[1]))])
