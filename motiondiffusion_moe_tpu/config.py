@@ -82,6 +82,10 @@ class ModelConfig:
     moe_capacity_factor: float = 2.0   # static-shape dispatch headroom (TPU requirement)
     moe_aux_loss_weight: float = 0.01
     moe_num_branches: int = 2          # MoEMultiBranchFFN branches (multi_branch.py:31-61)
+    # "dense_fused" (fastest, single-device), "dense" (einsum form the SPMD
+    # partitioner shards over the 'expert' axis), "dispatch" (capacity
+    # dispatch/combine, the explicit all-to-all layout)
+    moe_compute: str = "dense_fused"
     # --- attention (models/fast_attention.py) ---
     # Performer FAVOR+ feature count. The reference passes num_features=256
     # (fast_attention.py:6,117) but its reduced-QR orthogonalization silently
@@ -108,7 +112,9 @@ class ParallelConfig:
 
     data_axis: str = "data"
     expert_axis: str = "expert"
+    model_axis: str = "model"
     num_expert_partitions: int = 1     # experts sharded over this many devices
+    num_model_partitions: int = 1      # tensor parallelism (FFN column/row split)
     # data-axis size: 0 = auto (all visible accelerator devices / EP; stays
     # single-device on the CPU backend so unit tests don't silently shard),
     # 1 = force unsharded, N>1 = force an N-way data axis.

@@ -55,7 +55,11 @@ class SwitchMoELayer(nn.Module):
     num_experts: int = 8
     top_k: int = 2
     capacity_factor: float = 2.0
-    compute: str = "dense"             # "dense" | "dispatch"
+    # "dense_fused": all-experts as two stacked matmuls (fastest on one
+    #   device; merging the E dim defeats XLA-SPMD expert sharding)
+    # "dense": per-expert einsums XLA can partition over an 'expert' axis
+    # "dispatch": static-capacity dispatch/combine (the EP all-to-all layout)
+    compute: str = "dense_fused"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -105,29 +109,40 @@ class SwitchMoELayer(nn.Module):
         b2 = b2.astype(self.dtype)
         top_vals = top_vals.astype(self.dtype)
 
-        if self.compute == "dense":
+        if self.compute in ("dense", "dense_fused"):
             # combine weight per (token, expert): sum of top-k gate probs
             combine_se = jnp.zeros((S, E), self.dtype)
             for j in range(self.top_k):
                 combine_se = combine_se + (
                     jax.nn.one_hot(top_idx[:, j], E, dtype=self.dtype)
                     * top_vals[:, j:j + 1])
-            # All-experts compute as TWO stacked matmuls (MXU-shaped):
-            #   [S, D] @ [D, E*hid] -> gelu -> (weight by combine) ->
-            #   [S, E*hid] @ [E*hid, D].
-            # Weighting the HIDDEN activations by combine_se before the
-            # second matmul is algebraically identical to combining the
-            # per-expert outputs (linearity), but never materializes the
-            # [E, S, D] output tensor — ~2/3 less intermediate HBM traffic
-            # than the per-expert einsum chain and far bigger matmuls.
-            hid = self.hidden_dim
-            w1m = jnp.transpose(w1, (1, 0, 2)).reshape(D, E * hid)
-            h = (x_flat.astype(self.dtype) @ w1m).reshape(S, E, hid) \
-                + b1[None, :, :]
-            h = nn.gelu(h)
-            h = h * combine_se[:, :, None]
-            out = h.reshape(S, E * hid) @ w2.reshape(E * hid, D) \
-                + combine_se @ b2
+            if self.compute == "dense_fused":
+                # All-experts compute as TWO stacked matmuls (MXU-shaped):
+                #   [S, D] @ [D, E*hid] -> gelu -> (weight by combine) ->
+                #   [S, E*hid] @ [E*hid, D].
+                # Weighting the HIDDEN activations by combine_se before the
+                # second matmul is algebraically identical to combining the
+                # per-expert outputs (linearity), but never materializes the
+                # [E, S, D] output tensor — ~2/3 less intermediate HBM
+                # traffic than the per-expert einsum chain and far bigger
+                # matmuls. Single-device only by design: merging the E dim
+                # into a matmul defeats XLA-SPMD expert partitioning.
+                hid = self.hidden_dim
+                w1m = jnp.transpose(w1, (1, 0, 2)).reshape(D, E * hid)
+                h = (x_flat.astype(self.dtype) @ w1m).reshape(S, E, hid) \
+                    + b1[None, :, :]
+                h = nn.gelu(h)
+                h = h * combine_se[:, :, None]
+                out = h.reshape(S, E * hid) @ w2.reshape(E * hid, D) \
+                    + combine_se @ b2
+            else:
+                # per-expert einsums keep E a contractable named dim that
+                # the SPMD partitioner shards over the 'expert' mesh axis
+                h = jnp.einsum("sd,edh->esh", x_flat.astype(self.dtype), w1) \
+                    + b1[:, None, :]
+                h = nn.gelu(h)
+                y = jnp.einsum("esh,ehd->esd", h, w2) + b2[:, None, :]
+                out = jnp.einsum("esd,se->sd", y, combine_se)
         elif self.compute == "dispatch":
             out = _capacity_dispatch_ffn(
                 x_flat.astype(self.dtype), top_idx, top_vals,
@@ -186,7 +201,7 @@ class MoEMultiBranchFFN(nn.Module):
     capacity_factor: float = 2.0
     dropout: float = 0.1
     time_embed_dim: int = 512
-    moe_compute: str = "dense"
+    moe_compute: str = "dense_fused"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -64,7 +64,7 @@ class MoEDecoderLayer(nn.Module):
     top_k: int = 2
     capacity_factor: float = 2.0
     use_moe: bool = True
-    moe_compute: str = "dense"
+    moe_compute: str = "dense_fused"
     chunk_size: int = 256
     num_features: int = 256
     dtype: jnp.dtype = jnp.float32
@@ -147,7 +147,8 @@ class MotionTransformer(nn.Module):
             time_embed_dim=self.time_embed_dim, ffn_dim=cfg.ff_size,
             num_experts=cfg.num_experts, num_branches=cfg.moe_num_branches,
             top_k=cfg.moe_top_k, capacity_factor=cfg.moe_capacity_factor,
-            use_moe=cfg.use_moe, chunk_size=cfg.xattn_chunk_size,
+            use_moe=cfg.use_moe, moe_compute=cfg.moe_compute,
+            chunk_size=cfg.xattn_chunk_size,
             num_features=cfg.num_random_features, dtype=dtype)
         self.decoder_blocks_low = [
             MoEDecoderLayer(**block_kw, name=f"block_low_{i}")

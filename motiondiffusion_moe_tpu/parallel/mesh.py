@@ -1,8 +1,8 @@
-"""Device mesh + sharding rules (DP x EP).
+"""Device mesh + sharding rules (DP x EP x TP).
 
 The reference's entire distributed story is DDP over NCCL
 (``tools/train.py:95-100,140-145``; SURVEY.md §2.4). TPU-native replacement:
-one ``jax.sharding.Mesh`` with axes ``('data', 'expert')``:
+one ``jax.sharding.Mesh`` with axes ``('data', 'expert', 'model')``:
 
 - **data**: batch dimension sharded; gradient reduction is XLA SPMD's
   implicit psum over ICI (no DDP hooks, no NCCL).
@@ -11,6 +11,16 @@ one ``jax.sharding.Mesh`` with axes ``('data', 'expert')``:
   combine einsums and inserts the all-to-all over ICI. An explicit
   ``shard_map`` + Pallas dispatch path lives in ``moe_parallel`` for manual
   control at larger expert counts.
+- **model** (tensor parallelism): Megatron-style column/row split of the
+  FFN weights — the MoE expert hidden dim ([E, D, H] column-sharded on H,
+  [E, H, D] row-sharded on H), the DenseFFN branches, and the exact
+  cross-attention block's 4x MLP. The first matmul of each pair is
+  column-parallel, the second row-parallel; XLA inserts the closing
+  psum over ICI. Attention itself runs replicated on this axis: at
+  latent 512 / 4 heads the Performer Pallas kernels are below the size
+  where head-sharding pays (SURVEY.md §2.4 scopes TP optional at this
+  model size), so TP here covers the FFN stacks — where the per-layer
+  weight mass is — and composes with DP and EP.
 
 Everything here also runs unmodified on a virtual CPU mesh
 (``--xla_force_host_platform_device_count=N``) — how tests and the driver's
@@ -27,18 +37,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 EXPERT_AXIS = "expert"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              expert_parallel: int = 1) -> Mesh:
-    """Mesh of shape (data = n/ep, expert = ep)."""
+              expert_parallel: int = 1,
+              tensor_parallel: int = 1) -> Mesh:
+    """Mesh of shape (data = n/(ep*tp), expert = ep, model = tp)."""
     devices = jax.devices()
     n = n_devices or len(devices)
     assert n <= len(devices), f"want {n} devices, have {len(devices)}"
-    assert n % expert_parallel == 0
-    arr = np.asarray(devices[:n]).reshape(n // expert_parallel,
-                                          expert_parallel)
-    return Mesh(arr, (DATA_AXIS, EXPERT_AXIS))
+    assert n % (expert_parallel * tensor_parallel) == 0
+    arr = np.asarray(devices[:n]).reshape(
+        n // (expert_parallel * tensor_parallel),
+        expert_parallel, tensor_parallel)
+    return Mesh(arr, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS))
 
 
 def batch_spec() -> P:
@@ -51,17 +64,49 @@ def _is_expert_param(path: str, leaf) -> bool:
         path.endswith(f"['{n}']") for n in ("w1", "w2", "b1", "b2"))
 
 
+def _param_spec(pstr: str, leaf, ep: int, tp: int) -> P:
+    """PartitionSpec for one parameter leaf under the DP x EP x TP rules."""
+    if not hasattr(leaf, "ndim"):
+        return P()
+    shape = leaf.shape
+
+    def div(dim, k):
+        return k > 1 and dim < len(shape) and shape[dim] % k == 0
+
+    if _is_expert_param(pstr, leaf):
+        # expert dim 0 over 'expert'; hidden dim over 'model' (Megatron
+        # column-split on w1/b1, row-split on w2; b2 output stays whole)
+        e_ax = EXPERT_AXIS if div(0, ep) else None
+        name = pstr.rsplit("'", 2)[-2]
+        if name == "w1" and div(2, tp):      # [E, D, H]
+            return P(e_ax, None, MODEL_AXIS)
+        if name == "b1" and div(1, tp):      # [E, H]
+            return P(e_ax, MODEL_AXIS)
+        if name == "w2" and div(1, tp):      # [E, H, D]
+            return P(e_ax, MODEL_AXIS, None)
+        return P(e_ax, *([None] * (len(shape) - 1)))
+
+    # Dense FFN pairs (DenseFFN branches + CrossAttentionBlock residual MLP):
+    # first matmul column-parallel, second row-parallel
+    col = ("_fc1" in pstr) or ("ffn_0" in pstr)
+    row = ("_fc2" in pstr) or ("ffn_1" in pstr)
+    if col and pstr.endswith("['kernel']") and div(1, tp):
+        return P(None, MODEL_AXIS)
+    if col and pstr.endswith("['bias']") and div(0, tp):
+        return P(MODEL_AXIS)
+    if row and pstr.endswith("['kernel']") and div(0, tp):
+        return P(MODEL_AXIS, None)
+    return P()
+
+
 def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding pytree: expert weights sharded on their E dim over the
-    'expert' axis (when divisible), everything else replicated."""
-    ep = mesh.shape[EXPERT_AXIS]
+    """NamedSharding pytree per the DP x EP x TP rules (see module doc)."""
+    ep = mesh.shape.get(EXPERT_AXIS, 1)
+    tp = mesh.shape.get(MODEL_AXIS, 1)
 
     def rule(path, leaf):
         pstr = jax.tree_util.keystr(path)
-        if _is_expert_param(pstr, leaf) and leaf.shape[0] % ep == 0 and ep > 1:
-            return NamedSharding(
-                mesh, P(EXPERT_AXIS, *([None] * (leaf.ndim - 1))))
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _param_spec(pstr, leaf, ep, tp))
 
     return jax.tree_util.tree_map_with_path(rule, params)
 
@@ -82,22 +127,18 @@ def make_sharded_train_step(train_step: Callable, state: Any,
 
     Returns (sharded_step, sharded_state): state placed per the param rules,
     batch expected data-sharded (see :func:`shard_batch`), rng replicated.
-    Gradient psum over 'data' and MoE all-to-all over 'expert' are inserted
-    by the XLA SPMD partitioner.
+    Gradient psum over 'data', MoE all-to-all over 'expert', and the
+    row-parallel closing psum over 'model' are inserted by the XLA SPMD
+    partitioner.
     """
     replicated = NamedSharding(mesh, P())
-    ep = mesh.shape[EXPERT_AXIS]
+    ep = mesh.shape.get(EXPERT_AXIS, 1)
+    tp = mesh.shape.get(MODEL_AXIS, 1)
 
     def rule(path, leaf):
-        """Expert weights (and their adam moments, which mirror the param
-        tree paths) shard on dim 0 over 'expert'; everything else
-        replicates."""
+        """Param shardings mirror into the adam moments (same tree paths)."""
         pstr = jax.tree_util.keystr(path)
-        if (hasattr(leaf, "ndim") and leaf.ndim >= 1 and ep > 1
-                and _is_expert_param(pstr, leaf)
-                and leaf.shape[0] % ep == 0):
-            return NamedSharding(mesh, P(EXPERT_AXIS, *([None] * (leaf.ndim - 1))))
-        return replicated
+        return NamedSharding(mesh, _param_spec(pstr, leaf, ep, tp))
 
     state_shardings = jax.tree_util.tree_map_with_path(
         rule, state, is_leaf=lambda x: isinstance(x, jax.Array))

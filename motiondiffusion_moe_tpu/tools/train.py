@@ -55,6 +55,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--w_progressive", type=float, default=0.0)
     p.add_argument("--expert_parallel", type=int, default=1,
                    help="EP degree: experts sharded over this many devices")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="TP degree: FFN hidden dims column/row-sharded")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="DP degree; 0 = auto (all devices on an accelerator"
                         " backend, single-device on CPU)")
@@ -97,6 +99,7 @@ def config_from_args(args: argparse.Namespace):
                                   schedule_sampler=args.schedule_sampler),
         model=model,
         parallel=ParallelConfig(num_expert_partitions=args.expert_parallel,
+                                num_model_partitions=args.tensor_parallel,
                                 num_data_partitions=args.data_parallel),
         train=TrainConfig(batch_size=args.batch_size,
                           num_epochs=args.num_epochs, lr=args.lr,

@@ -45,6 +45,17 @@ class Trainer:
                  normalizer_stats=None,
                  logger: Optional[MetricsLogger] = None):
         self.cfg = cfg
+        self.mesh = self._maybe_make_mesh(cfg)
+        if (model is None and self.mesh is not None
+                and self.mesh.shape.get(cfg.parallel.expert_axis, 1) > 1
+                and cfg.model.moe_compute == "dense_fused"):
+            # dense_fused merges the expert dim into one matmul, which the
+            # SPMD partitioner cannot shard over the 'expert' axis — EP runs
+            # use the per-expert einsum form instead.
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, moe_compute="dense"))
+            self.cfg = cfg
         self.model = model or MotionTransformer(config=cfg.model)
         self.tokenize, _ = get_text_encoder(cfg.model)
         self.sched = make_schedule(
@@ -52,7 +63,6 @@ class Trainer:
             num_timesteps=cfg.diffusion.num_timesteps)
         self.sampler = create_named_schedule_sampler(
             cfg.diffusion.schedule_sampler, cfg.diffusion.num_timesteps)
-        self.mesh = self._maybe_make_mesh(cfg)
         # With a mesh, jit happens in fit() via make_sharded_train_step
         # (it needs the state to derive shardings); without, jit here.
         self.train_step = make_train_step(self.model, self.sched, cfg,
@@ -72,24 +82,25 @@ class Trainer:
         CPU mesh and must not silently shard).
         """
         ep = cfg.parallel.num_expert_partitions
+        tp = cfg.parallel.num_model_partitions
         dp = cfg.parallel.num_data_partitions
         ndev = len(jax.devices())
         auto_dp = (dp == 0 and ndev > 1
                    and jax.default_backend() not in ("cpu",))
-        if ep <= 1 and dp <= 1 and not auto_dp:
+        if ep <= 1 and tp <= 1 and dp <= 1 and not auto_dp:
             return None
         if dp == 0:
-            n = (ndev // ep) * ep
+            n = (ndev // (ep * tp)) * ep * tp
         else:
-            n = dp * ep
+            n = dp * ep * tp
         assert n >= 1 and n <= ndev, (
-            f"parallel config wants {n} devices (dp={dp} x ep={ep}), "
-            f"have {ndev}")
-        if cfg.train.batch_size % (n // ep) != 0:
+            f"parallel config wants {n} devices (dp={dp} x ep={ep} x "
+            f"tp={tp}), have {ndev}")
+        if cfg.train.batch_size % (n // (ep * tp)) != 0:
             raise ValueError(
                 f"global batch {cfg.train.batch_size} not divisible by the "
-                f"data axis ({n // ep})")
-        return make_mesh(n, expert_parallel=ep)
+                f"data axis ({n // (ep * tp)})")
+        return make_mesh(n, expert_parallel=ep, tensor_parallel=tp)
 
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:

@@ -83,6 +83,7 @@ def _forward(dtype: str, x, ids, t, length):
 
 
 class TestForwardBf16Drift:
+    @pytest.mark.slow
     def test_forward_matches_f32_within_tolerance(self):
         """Same params (init is dtype-independent), same inputs: bf16
         forward must track f32 closely. The output head is zero-init so

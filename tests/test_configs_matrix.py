@@ -27,6 +27,7 @@ from motiondiffusion_moe_tpu.training import create_train_state, make_train_step
 class TestKitConfig:
     """BASELINE config #4: KIT-ML 251-dim, variable lengths + masks."""
 
+    @pytest.mark.slow
     def test_kit_synthetic_train_step(self):
         data = DataConfig.kit(data_root="unused")
         # tiny model on real KIT feature dims
@@ -68,6 +69,7 @@ class TestKitConfig:
 class TestBigExpertSharded:
     """BASELINE config #5 shape: 16 experts sharded over the expert axis."""
 
+    @pytest.mark.slow
     def test_16_experts_ep4(self):
         ep = 4
         dp = 8 // ep
@@ -80,6 +82,7 @@ class TestBigExpertSharded:
                               num_experts=16, text_latent_dim=16,
                               num_random_features=8, text_max_tokens=8,
                               dropout=0.0, stochastic_depth_min=1.0,
+                              moe_compute="dense",  # EP-shardable form
                               dtype="float32"),
             train=TrainConfig(batch_size=2 * dp, lr=1e-3, uncond_step=False),
         )

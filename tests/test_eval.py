@@ -307,6 +307,7 @@ class TestProtocol:
         assert mm_motions.shape == (2, 3, 196, 263)
         assert (mm_lens > 0).all()
 
+    @pytest.mark.slow
     def test_full_protocol_smoke(self, tmp_path):
         """End-to-end protocol on tiny sizes with a fake generator and a
         random-init evaluator: all five metrics come out finite."""

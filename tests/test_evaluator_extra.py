@@ -21,6 +21,7 @@ from motiondiffusion_moe_tpu.eval.evaluator_models import (
 
 
 class TestMovementConvDecoder:
+    @pytest.mark.slow
     def test_inverts_encoder_temporal_compression(self):
         enc = MovementConvEncoder(hidden_size=32, output_size=24)
         dec = MovementConvDecoder(hidden_size=32, output_size=16)
@@ -92,6 +93,7 @@ class TestAttLayer:
 
 
 class TestTextEncoderBiGRUSeq:
+    @pytest.mark.slow
     def test_shapes(self):
         te = TextEncoderBiGRU(hidden_size=16)
         we = jax.random.normal(jax.random.key(10), (2, 6, 300))

@@ -26,6 +26,7 @@ class TestSwitchMoE:
         _, (out, _) = _init_and_run(m, x)
         assert out.shape == x.shape
 
+    @pytest.mark.slow
     def test_zero_init_gate_uniform_routing(self):
         """Gate is zero-init (switch_moe.py:28-29) -> uniform probs at step 0;
         top-2 picks experts 0 and 1 with weight 1/E each."""
@@ -35,6 +36,7 @@ class TestSwitchMoE:
         usage = np.asarray(cols["moe_metrics"]["expert_usage"])
         assert usage[0] == 6 and usage[1:].sum() == 0  # ties -> expert 0 top-1
 
+    @pytest.mark.slow
     def test_dense_vs_dispatch_equal(self):
         """With ample capacity the two compute paths are numerically equal."""
         x = jax.random.normal(jax.random.key(2), (4, 8, 16))

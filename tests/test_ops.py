@@ -88,6 +88,7 @@ class TestFavorKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
 
+    @pytest.mark.slow
     def test_custom_vjp_matches_reference_grad(self):
         q, k, v, proj = self._inputs(B=1, H=1, T=8, D=4, m=8)
 
@@ -157,6 +158,7 @@ class TestFavorQKVKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
 
+    @pytest.mark.slow
     def test_custom_vjp_matches_reference_grad(self):
         qkv, scale, bias, proj = self._inputs(B=1, H=2, T=8, D=4, m=8)
 
@@ -357,6 +359,7 @@ class TestFlashCrossAttention:
             m = m_new
         np.testing.assert_allclose(acc / l, ref, atol=1e-5)
 
+    @pytest.mark.slow
     def test_custom_vjp_matches_reference_grad(self):
         q, k, v = self._inputs(B=1, H=1, T=8, N=6, D=4)
         g1 = jax.grad(lambda q, k, v: jnp.sum(

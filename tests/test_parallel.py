@@ -34,6 +34,7 @@ def tiny_cfg(dp_batch: int) -> ExperimentConfig:
                           num_experts=4, text_latent_dim=16,
                           num_random_features=8, text_max_tokens=8,
                           dropout=0.0, stochastic_depth_min=1.0,
+                          moe_compute="dense",  # EP-shardable einsum form
                           dtype="float32"),
         train=TrainConfig(batch_size=dp_batch, lr=1e-3, uncond_step=False),
     )
@@ -59,6 +60,7 @@ class TestMesh:
         assert mesh.shape[DATA_AXIS] == 4
         assert mesh.shape[EXPERT_AXIS] == 2
 
+    @pytest.mark.slow
     def test_param_shardings_expert_rule(self):
         cfg = tiny_cfg(8)
         model = MotionTransformer(config=cfg.model)
@@ -78,6 +80,7 @@ class TestMesh:
 
 class TestShardedTrainStep:
     @pytest.mark.parametrize("ep", [1, 2])
+    @pytest.mark.slow
     def test_sharded_step_runs(self, ep):
         n = 8
         dp = n // ep
@@ -94,6 +97,7 @@ class TestShardedTrainStep:
             assert np.isfinite(float(metrics["loss_total"]))
             assert int(new_state.step) == 1
 
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self):
         """DPxEP-sharded step computes the same loss and the same updated
         params as the unsharded step (SPMD is a layout, not a semantic)."""
@@ -125,8 +129,93 @@ class TestShardedTrainStep:
 
 
 class TestDryrun:
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import sys, os
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         from __graft_entry__ import dryrun_multichip
         dryrun_multichip(8)
+
+
+class TestTensorParallel:
+    """TP ('model' axis): Megatron column/row split of the FFN stacks."""
+
+    def test_make_mesh_3d(self):
+        from motiondiffusion_moe_tpu.parallel.mesh import MODEL_AXIS
+        mesh = make_mesh(8, expert_parallel=2, tensor_parallel=2)
+        assert mesh.shape[DATA_AXIS] == 2
+        assert mesh.shape[EXPERT_AXIS] == 2
+        assert mesh.shape[MODEL_AXIS] == 2
+
+    @pytest.mark.slow
+    def test_param_shardings_tp_rules(self):
+        from motiondiffusion_moe_tpu.parallel.mesh import MODEL_AXIS
+        cfg = tiny_cfg(8)
+        model = MotionTransformer(config=cfg.model)
+        state = create_train_state(model, cfg, jax.random.key(0))
+        mesh = make_mesh(8, expert_parallel=2, tensor_parallel=2)
+        sh = param_shardings(state.params, mesh)
+        flat = jax.tree_util.tree_leaves_with_path(sh)
+        col = row = expert_hidden = 0
+        for p, s in flat:
+            pstr = jax.tree_util.keystr(p)
+            if not s.spec:
+                continue
+            if "ffn_0" in pstr and pstr.endswith("['kernel']"):
+                assert s.spec == (None, MODEL_AXIS), pstr
+                col += 1
+            if "ffn_1" in pstr and pstr.endswith("['kernel']"):
+                assert s.spec == (MODEL_AXIS, None), pstr
+                row += 1
+            if "_moe" in pstr and pstr.endswith("['w1']"):
+                assert s.spec == (EXPERT_AXIS, None, MODEL_AXIS), pstr
+                expert_hidden += 1
+        # 2 scales x 1 layer: one exact-xattn MLP each; 2 MoE branches each
+        assert col == 2 and row == 2
+        assert expert_hidden == 4
+
+    @pytest.mark.parametrize("ep,tp", [(1, 2), (2, 2)])
+    @pytest.mark.slow
+    def test_tp_sharded_matches_single_device(self, ep, tp):
+        """DPxEPxTP-sharded step computes the same loss/params as the
+        unsharded step — the partitioner's psums are exact."""
+        cfg = tiny_cfg(8 // (ep * tp) * 2)
+        model = MotionTransformer(config=cfg.model)
+        sched = make_schedule(schedule_name="linear", num_timesteps=100)
+        state = create_train_state(model, cfg, jax.random.key(0))
+        raw = make_train_step(model, sched, cfg, jit=False)
+        B = cfg.train.batch_size
+        batch_np = make_batch(B)
+
+        state1, metrics1 = jax.jit(raw)(state, batch_np, jax.random.key(1))
+        loss1 = float(metrics1["loss_total"])
+
+        state2 = create_train_state(model, cfg, jax.random.key(0))
+        mesh = make_mesh(8, expert_parallel=ep, tensor_parallel=tp)
+        with mesh:
+            step, sstate = make_sharded_train_step(raw, state2, mesh)
+            batch = shard_batch(batch_np, mesh)
+            new_state, metrics2 = step(sstate, batch, jax.random.key(1))
+        loss2 = float(metrics2["loss_total"])
+        assert loss1 == pytest.approx(loss2, rel=1e-5)
+
+        a = jax.tree_util.tree_leaves(jax.device_get(state1.params))
+        b = jax.tree_util.tree_leaves(jax.device_get(new_state.params))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, atol=1e-5)
+
+    def test_trainer_builds_tp_mesh(self):
+        from dataclasses import replace
+        from motiondiffusion_moe_tpu.config import ParallelConfig
+        from motiondiffusion_moe_tpu.parallel.mesh import MODEL_AXIS
+        from motiondiffusion_moe_tpu.training.trainer import Trainer
+        cfg = tiny_cfg(4)
+        cfg = replace(cfg,
+                      model=replace(cfg.model, moe_compute="dense_fused"),
+                      parallel=ParallelConfig(num_expert_partitions=2,
+                                              num_model_partitions=2))
+        tr = Trainer(cfg)
+        assert tr.mesh is not None
+        assert tr.mesh.shape[MODEL_AXIS] == 2
+        # EP active -> trainer must have switched off dense_fused
+        assert tr.cfg.model.moe_compute == "dense"

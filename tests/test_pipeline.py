@@ -90,6 +90,7 @@ class TestGenerationPipeline:
 
 
 class TestCheckpoints:
+    @pytest.mark.slow
     def test_save_restore_roundtrip(self, trained, tmp_path):
         cfg, model, state = trained
         mngr = CheckpointManager(str(tmp_path / "ckpt"))

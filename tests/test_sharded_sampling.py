@@ -53,6 +53,7 @@ def setup():
     return sched, model_doubled
 
 
+@pytest.mark.slow
 def test_dp_sharded_sampling_matches_unsharded(setup):
     sched, model_doubled = setup
     noise = jax.random.normal(jax.random.key(1), (8, 16, 26))

@@ -61,12 +61,12 @@ class TestTrainerMesh:
         mesh = Trainer._maybe_make_mesh(
             self._cfg(num_expert_partitions=2))
         assert mesh is not None
-        assert dict(mesh.shape) == {"data": 4, "expert": 2}
+        assert dict(mesh.shape) == {"data": 4, "expert": 2, "model": 1}
 
     def test_explicit_dp(self):
         mesh = Trainer._maybe_make_mesh(
             self._cfg(num_data_partitions=4, num_expert_partitions=2))
-        assert dict(mesh.shape) == {"data": 4, "expert": 2}
+        assert dict(mesh.shape) == {"data": 4, "expert": 2, "model": 1}
 
     def test_batch_divisibility_error(self):
         from dataclasses import replace

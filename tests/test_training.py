@@ -121,6 +121,7 @@ class TestTrainStep:
         }
         return cfg, make_state, step, batch
 
+    @pytest.mark.slow
     def test_step_runs_and_updates(self, setup):
         _, make_state, step, batch = setup
         state = make_state()
@@ -135,6 +136,7 @@ class TestTrainStep:
             params_before, jax.device_get(new_state.params))
         assert max(jax.tree_util.tree_leaves(diff)) > 0
 
+    @pytest.mark.slow
     def test_loss_decreases_overfit_one_batch(self, setup):
         """End-to-end: with a FIXED rng (same noise and t each step) the
         denoiser memorizes the mapping and the loss falls fast."""
@@ -150,6 +152,7 @@ class TestTrainStep:
             last = float(metrics["loss_mot_rec"])
         assert last < first * 0.6, (first, last)
 
+    @pytest.mark.slow
     def test_advanced_losses_run(self):
         cfg = tiny_config()
         cfg = ExperimentConfig(
@@ -178,6 +181,7 @@ class TestTrainStep:
 
 
 class TestTrainerLoop:
+    @pytest.mark.slow
     def test_fit_runs_epochs(self, tmp_path):
         cfg = tiny_config()
         ds = SyntheticText2MotionDataset(cfg.data, size=8, seed=0)
@@ -194,6 +198,7 @@ class TestTrainerLoop:
         # 2 epochs x 2 batches x 2 steps (cond+uncond)
         assert int(state.step) == 8
 
+    @pytest.mark.slow
     def test_loss_aware_sampler_integration(self):
         cfg = tiny_config()
         object.__setattr__(cfg.diffusion, "schedule_sampler", "loss-second-moment")

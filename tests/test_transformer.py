@@ -96,6 +96,7 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(out1[:, :8]),
                                    np.asarray(out2[:, :8]), atol=2e-2)
 
+    @pytest.mark.slow
     def test_stochastic_depth_with_moe_grads(self):
         """Regression: stochastic depth (p<1) with MoE sow used to leak
         tracers through lax.cond in train mode (found driving the flagship
@@ -137,6 +138,7 @@ class TestForward:
                           mutable=["moe_losses", "moe_metrics"])[0]
         assert out.shape == (2, 32, 26)
 
+    @pytest.mark.slow
     def test_grad_through_model(self, model_and_params):
         model, params = model_and_params
         x = jax.random.normal(jax.random.key(1), (2, 32, 26))
@@ -157,6 +159,7 @@ class TestForward:
         g_out = grads["params"]["out"]["kernel"]
         assert float(jnp.abs(g_out).sum()) > 0
 
+    @pytest.mark.slow
     def test_dense_config(self):
         cfg = ModelConfig(input_feats=26, max_frames=16, latent_dim=32,
                           ff_size=64, num_layers=1, num_heads=2,
@@ -173,6 +176,7 @@ class TestForward:
         assert out.shape == x.shape
         assert len(jax.tree_util.tree_leaves(cols.get("moe_losses", {}))) == 0
 
+    @pytest.mark.slow
     def test_bf16_compute(self):
         cfg = ModelConfig(input_feats=26, max_frames=16, latent_dim=32,
                           ff_size=32, num_layers=1, num_heads=2, num_experts=4,
