@@ -65,10 +65,12 @@ def _run():
     from motiondiffusion_moe_tpu.models import MotionTransformer
     from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))  # measured sweet spot (16: -11%, 64: -8%)
+    # micro-batch 16 x 6 reps measured best under pipelined fetches
+    # (16: 19.11, 32: 18.95 motions/s on v5e; pre-pipelining 32 won)
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "6"))
 
     cfg = ExperimentConfig.moe_small()
     if layers != cfg.model.num_layers:

@@ -133,14 +133,14 @@ def make_schedule(betas: Optional[np.ndarray] = None,
         fixed_large_variance=f32(fixed_large_variance),
         fixed_large_log_variance=f32(fixed_large_log_variance),
     )
-    # Materialize the whole pytree in ONE jitted program instead of 15
-    # eager jnp.asarray converts: each eager convert is its own tiny
-    # program + transfer, and through a remote-chip tunnel those round
-    # trips cost seconds EACH (measured: minutes of pipeline-construction
-    # stall). One program, one round trip.
+    # Materialize with ONE device_put of the already-f32 host pytree.
+    # Eager jnp.asarray would compile+dispatch a convert program PER TABLE,
+    # and through a remote-chip tunnel every program round-trip costs about
+    # a minute even on compilation-cache hits (measured: minutes of
+    # pipeline/trainer construction stall). device_put is data-plane only:
+    # no compile, one transfer.
     import jax
-    return jax.jit(
-        lambda: jax.tree_util.tree_map(jnp.asarray, host))()
+    return jax.device_put(host)
 
 
 def _extract(coef: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
