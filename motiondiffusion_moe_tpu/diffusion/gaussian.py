@@ -54,6 +54,32 @@ class LossType(enum.Enum):
         return self in (LossType.KL, LossType.RESCALED_KL)
 
 
+class HostTable(np.ndarray):
+    """A host-resident coefficient table that still supports traced gathers.
+
+    The schedule tables live on the HOST as numpy (any eager per-table
+    device op — jnp.asarray convert programs, even device_put — costs a
+    full round trip through a remote-chip tunnel, measured at seconds to
+    minutes of construction stall). Inside a trace they embed as
+    compile-time constants. Plain numpy would reject ``table[t]`` with a
+    traced ``t`` (the public pattern used by samplers and tests), so
+    indexing with a jax value converts to jnp first; ``__jax_array__``
+    covers every other jnp op.
+    """
+
+    def __getitem__(self, idx):
+        import jax
+
+        if isinstance(idx, jax.Array) or (
+                isinstance(idx, tuple)
+                and any(isinstance(i, jax.Array) for i in idx)):
+            return jnp.asarray(np.asarray(self))[idx]
+        return super().__getitem__(idx)
+
+    def __jax_array__(self):
+        return jnp.asarray(np.asarray(self))
+
+
 @struct.dataclass
 class DiffusionSchedule:
     """All per-timestep coefficient tables as a single pytree.
@@ -115,7 +141,7 @@ def make_schedule(betas: Optional[np.ndarray] = None,
     fixed_large_variance = np.append(posterior_variance[1], betas[1:])
     fixed_large_log_variance = np.log(fixed_large_variance)
 
-    f32 = lambda a: np.asarray(a, dtype=np.float32)
+    f32 = lambda a: np.asarray(a, dtype=np.float32).view(HostTable)
     host = DiffusionSchedule(
         betas=f32(betas),
         alphas_cumprod=f32(alphas_cumprod),
@@ -133,14 +159,7 @@ def make_schedule(betas: Optional[np.ndarray] = None,
         fixed_large_variance=f32(fixed_large_variance),
         fixed_large_log_variance=f32(fixed_large_log_variance),
     )
-    # Materialize with ONE device_put of the already-f32 host pytree.
-    # Eager jnp.asarray would compile+dispatch a convert program PER TABLE,
-    # and through a remote-chip tunnel every program round-trip costs about
-    # a minute even on compilation-cache hits (measured: minutes of
-    # pipeline/trainer construction stall). device_put is data-plane only:
-    # no compile, one transfer.
-    import jax
-    return jax.device_put(host)
+    return host
 
 
 def _extract(coef: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:

@@ -334,6 +334,13 @@ class CrossAttentionBlock(nn.Module):
     chunk_size: int = 256  # kept for config parity; tiling hint for Pallas
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # The fused fast-layout kernel (ops/flash_attention.xattn_fastlayout)
+    # is numerically verified on TPU but LOSES ~0.4% end-to-end at the
+    # flagship shape (18.91 vs 18.99 motions/s): at N=77 text keys the
+    # einsum path's score tensors are small enough that XLA's own fusion
+    # beats the pallas_call fusion barrier. Off by default; becomes
+    # relevant for long-context text conditioning.
+    use_fast_xattn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, xf: jnp.ndarray,
@@ -345,16 +352,31 @@ class CrossAttentionBlock(nn.Module):
         head_dim = D // H
         scale = head_dim ** -0.5
 
-        q = nn.Dense(D, dtype=self.dtype, name="query")(x).reshape(B, T, H, head_dim)
-        k = nn.Dense(D, dtype=self.dtype, name="key")(xf).reshape(B, N, H, head_dim)
-        v = nn.Dense(D, dtype=self.dtype, name="value")(xf).reshape(B, N, H, head_dim)
+        q2 = nn.Dense(D, dtype=self.dtype, name="query")(x)
+        k2 = nn.Dense(D, dtype=self.dtype, name="key")(xf)
+        v2 = nn.Dense(D, dtype=self.dtype, name="value")(xf)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        if mask is not None:
-            scores = scores + mask[:, None, :, :]
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+        use_dropout = (not deterministic) and self.dropout > 0
+        if self.use_fast_xattn and mask is None and not use_dropout:
+            # fast-layout fused kernel: scores/softmax/probs@v stay
+            # VMEM-resident, q/k/v read straight in the Dense layout (no
+            # [B,H,T,N] HBM round-trip, no head transpose)
+            from motiondiffusion_moe_tpu.ops.flash_attention import (
+                xattn_fastlayout)
+
+            out = xattn_fastlayout(q2, k2, v2, H, scale)
+        else:
+            q = q2.reshape(B, T, H, head_dim)
+            k = k2.reshape(B, N, H, head_dim)
+            v = v2.reshape(B, N, H, head_dim)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            if mask is not None:
+                scores = scores + mask[:, None, :, :]
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   axis=-1).astype(self.dtype)
+            probs = nn.Dropout(self.dropout)(probs,
+                                             deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
         out = nn.Dense(D, dtype=self.dtype, name="out")(out)
 
         # small residual FFN (fast_attention.py:293-299,327-329)

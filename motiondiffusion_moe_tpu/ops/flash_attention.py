@@ -130,3 +130,113 @@ def _flash_bwd(scale, block_q, block_n, residuals, g):
 
 
 flash_cross_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ===========================================================================
+# Fast-layout exact cross-attention (text conditioning at N ~ 77 keys)
+# ===========================================================================
+#
+# The module-path einsums ("bqhd,bkhd->bhqk" -> f32 softmax -> "bhqk,bkhd")
+# materialize the [B, H, T, N] score/prob tensors in HBM twice and force
+# physical head transposes of q/k/v. At the flagship shape that is pure
+# HBM-roofline traffic around ~1 GF of matmul. This kernel reads q/k/v
+# STRAIGHT in the Dense output layout ([B, T, H*D] / [B, N, H*D]), one grid
+# cell per batch row, heads as static column slices; scores, softmax and
+# the probs @ v contraction stay VMEM-resident.
+#
+# No key mask, matching the reference quirk: padded text keys attend
+# unmasked (fast_attention.py:301-330 passes no mask).
+
+
+def xattn_fastlayout_reference(q: jnp.ndarray, k: jnp.ndarray,
+                               v: jnp.ndarray, num_heads: int,
+                               scale: Optional[float] = None) -> jnp.ndarray:
+    """Pure-JAX reference. q: [B, T, H*D]; k, v: [B, N, H*D]."""
+    B, T, HD = q.shape
+    N = k.shape[1]
+    D = HD // num_heads
+    s = scale if scale is not None else D ** -0.5
+    qh = q.reshape(B, T, num_heads, D)
+    kh = k.reshape(B, N, num_heads, D)
+    vh = v.reshape(B, N, num_heads, D)
+    scores = jnp.einsum("bthd,bnhd->bhtn", qh.astype(jnp.float32) * s,
+                        kh.astype(jnp.float32))
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhtn,bnhd->bthd", probs, vh.astype(jnp.float32))
+    return out.reshape(B, T, HD).astype(q.dtype)
+
+
+def _xattn_fast_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float,
+                       num_heads: int):
+    H = num_heads
+    HD = q_ref.shape[-1]
+    D = HD // H
+    for h in range(H):
+        c = h * D
+        qh = q_ref[0, :, c:c + D].astype(jnp.float32) * scale   # [T, D]
+        kh = k_ref[0, :, c:c + D].astype(jnp.float32)           # [N, D]
+        vh = v_ref[0, :, c:c + D].astype(jnp.float32)
+        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)  # [T, N]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(p, vh, preferred_element_type=jnp.float32)
+        out_ref[0, :, c:c + D] = out.astype(out_ref.dtype)
+
+
+def _xattn_fast_pallas(q, k, v, num_heads: int, scale: float):
+    B, T, HD = q.shape
+    N = k.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_xattn_fast_kernel, scale=scale,
+                          num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), q.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * T * N * HD,
+            bytes_accessed=(2 * B * T * HD + 2 * B * N * HD)
+            * q.dtype.itemsize,
+            transcendentals=B * num_heads * T * N,
+        ),
+    )(q, k, v)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def xattn_fastlayout(q, k, v, num_heads: int,
+                     scale: Optional[float] = None):
+    """Fast-layout exact cross-attention (see comment above). Pallas on
+    TPU, pure-JAX elsewhere; backward differentiates the reference."""
+    D = q.shape[-1] // num_heads
+    s = scale if scale is not None else D ** -0.5
+    return jax.lax.platform_dependent(
+        q, k, v,
+        tpu=lambda q_, k_, v_: _xattn_fast_pallas(q_, k_, v_, num_heads, s),
+        default=lambda q_, k_, v_: xattn_fastlayout_reference(
+            q_, k_, v_, num_heads, s),
+    )
+
+
+def _xattn_fast_fwd(q, k, v, num_heads, scale):
+    return xattn_fastlayout(q, k, v, num_heads, scale), (q, k, v)
+
+
+def _xattn_fast_bwd(num_heads, scale, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xattn_fastlayout_reference(q_, k_, v_, num_heads,
+                                                      scale), q, k, v)
+    return vjp(g)
+
+
+xattn_fastlayout.defvjp(_xattn_fast_fwd, _xattn_fast_bwd)

@@ -369,3 +369,78 @@ class TestFlashCrossAttention:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+class TestXattnFastLayout:
+    """Fast-layout exact cross-attention (ops/flash_attention.py).
+
+    On CPU these exercise the reference path; the Pallas kernel itself was
+    verified on TPU (f32 rel 2.2e-4, bf16 rel 1.3e-3 vs reference at the
+    flagship shape). Default-off in CrossAttentionBlock (documented
+    negative result at N=77); kept for long-context conditioning.
+    """
+
+    def test_matches_module_einsum_math(self):
+        import jax
+        import jax.numpy as jnp
+        from motiondiffusion_moe_tpu.ops.flash_attention import (
+            xattn_fastlayout, xattn_fastlayout_reference)
+
+        rng = np.random.default_rng(0)
+        B, T, N, H, D = 2, 24, 11, 4, 16
+        q = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+
+        out = xattn_fastlayout(q, k, v, H)
+        # independent einsum formulation
+        scale = D ** -0.5
+        qh = np.asarray(q).reshape(B, T, H, D)
+        kh = np.asarray(k).reshape(B, N, H, D)
+        vh = np.asarray(v).reshape(B, N, H, D)
+        scores = np.einsum("bthd,bnhd->bhtn", qh * scale, kh)
+        e = np.exp(scores - scores.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        expected = np.einsum("bhtn,bnhd->bthd", probs, vh).reshape(B, T, H * D)
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(xattn_fastlayout_reference(q, k, v, H)), expected,
+            atol=1e-5)
+
+    def test_custom_vjp_matches_reference(self):
+        import jax
+        import jax.numpy as jnp
+        from motiondiffusion_moe_tpu.ops.flash_attention import (
+            xattn_fastlayout, xattn_fastlayout_reference)
+
+        rng = np.random.default_rng(1)
+        B, T, N, H, D = 1, 8, 5, 2, 8
+        q = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+
+        g1 = jax.grad(lambda a, b, c: jnp.sum(
+            xattn_fastlayout(a, b, c, H) ** 2), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda a, b, c: jnp.sum(
+            xattn_fastlayout_reference(a, b, c, H) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_module_fast_path(self):
+        import jax
+        import jax.numpy as jnp
+        from motiondiffusion_moe_tpu.models.attention import (
+            CrossAttentionBlock)
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((2, 12, 32)), jnp.float32)
+        xf = jnp.asarray(rng.standard_normal((2, 7, 16)), jnp.float32)
+        kw = dict(latent_dim=32, text_latent_dim=16, num_heads=4, dropout=0.0)
+        slow = CrossAttentionBlock(**kw)
+        fast = CrossAttentionBlock(**kw, use_fast_xattn=True)
+        params = slow.init({"params": jax.random.key(0)}, x, xf)
+        a = slow.apply(params, x, xf, deterministic=True)
+        b = fast.apply(params, x, xf, deterministic=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

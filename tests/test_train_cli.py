@@ -86,7 +86,7 @@ class TestTrainCLISharded:
         with redirect_stdout(out):
             main(_cli_args(tmp_path, "ep2", epochs=1))
         text = out.getvalue()
-        assert "mesh {'data': 4, 'expert': 2}" in text
+        assert "mesh {'data': 4, 'expert': 2, 'model': 1}" in text
 
         run_dir = tmp_path / "ep2"
         cfg = ExperimentConfig.load(str(run_dir / "config.json"))
@@ -102,7 +102,7 @@ class TestTrainCLISharded:
             main(_cli_args(tmp_path, "ep2", epochs=2))
         text2 = out2.getvalue()
         assert "resumed from step 2" in text2
-        assert "mesh {'data': 4, 'expert': 2}" in text2
+        assert "mesh {'data': 4, 'expert': 2, 'model': 1}" in text2
         steps = sorted(int(d) for d in os.listdir(run_dir / "ckpt")
                        if d.isdigit())
         assert steps[-1] > 2
