@@ -349,6 +349,63 @@ def favor_qkv_reference(qkv: jnp.ndarray, ln_scale: jnp.ndarray,
                                 mask, eps, pre_scale)
 
 
+def _favor_qkv_kernel_v2(qkv_ref, scale_ref, bias_ref, projbd_ref, mask_ref,
+                         out_ref, *, eps: float, pre_scale: float,
+                         num_heads: int):
+    """Block-diagonal variant: per-head LayerNorm/L2 stay looped (cheap VPU
+    work), but the feature-map matmuls run as ONE [T, H*D] x [H*D, H*m]
+    block-diagonal product per q and k (projbd = kron(I_H, projection),
+    built outside the kernel, hoisted by XLA as loop-invariant). 2 big
+    MXU-shaped matmuls instead of 2*H small [T,D]x[D,m] ones, and the
+    exp/clip feature map vectorizes across all heads."""
+    scale = scale_ref[0].astype(jnp.float32)
+    bias = bias_ref[0].astype(jnp.float32)
+
+    def ln(x):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+    def l2(x):
+        return x * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(x * x, -1, keepdims=True), 1e-24))
+
+    T = qkv_ref.shape[1]
+    H = num_heads
+    HD = qkv_ref.shape[-1] // 3
+    D = HD // H
+    m = projbd_ref.shape[1] // H
+    x = qkv_ref[0]                        # [T, 3*H*D]
+    projbd = projbd_ref[:].astype(jnp.float32)
+    m1 = mask_ref[0]                      # [T, 1] f32
+
+    qs, ks, vs = [], [], []
+    for h in range(H):
+        c = h * D
+        qs.append(l2(ln(x[:, c:c + D].astype(jnp.float32) * pre_scale)))
+        ks.append(l2(ln(x[:, HD + c:HD + c + D].astype(jnp.float32)
+                        * pre_scale)))
+        vs.append(ln(x[:, 2 * HD + c:2 * HD + c + D].astype(jnp.float32)
+                     * pre_scale))
+    q = jnp.concatenate(qs, axis=-1)      # [T, H*D]
+    k = jnp.concatenate(ks, axis=-1)
+
+    q_proj = jnp.exp(jnp.clip(jnp.dot(
+        q, projbd, preferred_element_type=jnp.float32), -15, 15)) * 0.1
+    k_proj = jnp.exp(jnp.clip(jnp.dot(
+        k, projbd, preferred_element_type=jnp.float32), -15, 15)) * 0.1
+    k_proj = k_proj * m1                  # [T, H*m]
+
+    for h in range(H):
+        qp = q_proj[:, h * m:(h + 1) * m]
+        kp = k_proj[:, h * m:(h + 1) * m]
+        den = jnp.maximum(jnp.sum(qp * kp, -1, keepdims=True), eps)
+        kv = jnp.dot(kp.T, vs[h], preferred_element_type=jnp.float32) * 0.1
+        qkv_h = jnp.dot(qp, kv, preferred_element_type=jnp.float32) * 0.1
+        out_ref[0, :, h * D:(h + 1) * D] = (ln(qkv_h / den)
+                                            .astype(out_ref.dtype))
+
+
 def _favor_qkv_kernel(qkv_ref, scale_ref, bias_ref, proj_ref, mask_ref,
                       out_ref, *, eps: float, pre_scale: float,
                       num_heads: int, group: int):
@@ -422,6 +479,35 @@ def _favor_qkv_pallas(qkv, ln_scale, ln_bias, projection, mask, eps: float,
         maskf = jnp.ones((B, T, 1), jnp.float32)
     else:
         maskf = mask.astype(jnp.float32).reshape(B, T, 1)
+
+    if os.environ.get("FAVOR_QKV_V2", "1") != "0":
+        # block-diagonal feature-map matmuls (see _favor_qkv_kernel_v2)
+        projbd = jnp.kron(jnp.eye(H, dtype=projection.dtype), projection)
+        return pl.pallas_call(
+            functools.partial(_favor_qkv_kernel_v2, eps=eps,
+                              pre_scale=pre_scale, num_heads=H),
+            out_shape=jax.ShapeDtypeStruct((B, T, HD), qkv.dtype),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, T, HD3), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H * D, H * m), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, 1), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * (2 * T * HD * H * m + 2 * H * T * m * D),
+                bytes_accessed=B * T * (HD3 + HD) * qkv.dtype.itemsize,
+                transcendentals=2 * B * H * T * m,
+            ),
+        )(qkv, ln_scale.reshape(1, D), ln_bias.reshape(1, D), projbd, maskf)
 
     group = int(os.environ.get("FAVOR_QKV_GROUP", "1"))
     if B % group != 0:

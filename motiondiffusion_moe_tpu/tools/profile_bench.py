@@ -39,11 +39,14 @@ def capture(batch: int, steps: int, mode: str, log_dir: str) -> None:
     B, T, D = batch, cfg.model.max_frames, cfg.model.input_feats
     x = jnp.zeros((1, T, D))
     ids0 = jnp.asarray(hash_tokenize(["warmup"], cfg.model.text_max_tokens))
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        params = jax.jit(lambda key: model.init(
-            {"params": key}, x, jnp.zeros((1,), jnp.int32),
-            jnp.full((1,), T, jnp.int32), text_ids=ids0))(jax.random.key(0))
-    params = jax.device_put(params, jax.devices()[0])
+    # zero params straight on device (timing is value-independent; real
+    # init costs minutes whenever the compile cache is cold — see bench.py)
+    shapes = jax.eval_shape(
+        lambda key: model.init({"params": key}, x, jnp.zeros((1,), jnp.int32),
+                               jnp.full((1,), T, jnp.int32), text_ids=ids0),
+        jax.random.key(0))
+    params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
 
     if mode == "sample":
         from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
