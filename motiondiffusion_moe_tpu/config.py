@@ -93,6 +93,9 @@ class ModelConfig:
     # reference's EFFECTIVE count and the parity default here.
     num_random_features: int = 128
     xattn_chunk_size: int = 256        # MemoryEfficientCrossAttention chunk (tools/train.py:70)
+    # fused fast-layout exact-xattn kernel (ops/flash_attention.py) — off by
+    # default: measured -0.4% at N=77 text keys; for long-context text only
+    use_fast_xattn: bool = False
     # --- stochastic depth (models/time.py:35-48, transformer.py:227) ---
     stochastic_depth_min: float = 0.8  # survival probs linspace(1.0 -> 0.8)
     # --- text encoder (models/text_encoder.py) ---

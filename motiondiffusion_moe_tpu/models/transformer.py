@@ -65,6 +65,7 @@ class MoEDecoderLayer(nn.Module):
     capacity_factor: float = 2.0
     use_moe: bool = True
     moe_compute: str = "dense_fused"
+    use_fast_xattn: bool = False
     chunk_size: int = 256
     num_features: int = 256
     dtype: jnp.dtype = jnp.float32
@@ -101,6 +102,7 @@ class MoEDecoderLayer(nn.Module):
             latent_dim=self.latent_dim, text_latent_dim=self.text_latent_dim,
             num_heads=self.num_heads, chunk_size=self.chunk_size,
             dropout=self.dropout, dtype=self.dtype,
+            use_fast_xattn=self.use_fast_xattn,
             name="sd_cross_attn")(x, xf, mask=None, deterministic=deterministic)
         return x
 
@@ -148,6 +150,7 @@ class MotionTransformer(nn.Module):
             num_experts=cfg.num_experts, num_branches=cfg.moe_num_branches,
             top_k=cfg.moe_top_k, capacity_factor=cfg.moe_capacity_factor,
             use_moe=cfg.use_moe, moe_compute=cfg.moe_compute,
+            use_fast_xattn=cfg.use_fast_xattn,
             chunk_size=cfg.xattn_chunk_size,
             num_features=cfg.num_random_features, dtype=dtype)
         self.decoder_blocks_low = [
