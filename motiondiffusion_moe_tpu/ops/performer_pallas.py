@@ -154,6 +154,12 @@ LN_EPS = 1e-6  # flax.linen.LayerNorm default
 #   pallas_call fusion barrier costs more than the one-pass saves.
 # - Grouping G batch rows per favor_attention_qkv grid cell
 #   (FAVOR_QKV_GROUP): G=2 15.2, G=4 14.9 vs G=1 16.0.
+# - A fully head-VECTORIZED v3 of the merged-QKV kernel (per-head LN/L2/
+#   denominator on [T, H, D] views, kv for all head pairs as one
+#   [H*m, T] x [T, H*D] matmul masked block-diagonal, zero Python loops):
+#   16.14 vs v2's 19.49. The [T, HD] <-> [T, H, D] view reductions force
+#   Mosaic relayouts and the 4x-FLOP kv_full matmul is real MXU time; the
+#   per-head loop over lane-tile slices (v2) is cheaper than both.
 
 
 def favor_full_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
