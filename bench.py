@@ -65,12 +65,13 @@ def _run():
     from motiondiffusion_moe_tpu.models import MotionTransformer
     from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
 
-    # micro-batch 16 x 6 reps measured best under pipelined fetches
-    # (16: 19.11, 32: 18.95 motions/s on v5e; pre-pipelining 32 won)
+    # micro-batch 16 measured best under pipelined fetches (16: 19.49,
+    # 32: 19.45 motions/s on v5e); 12 reps amortize the one non-overlapped
+    # tail fetch (6 reps: 19.49, 12 reps: 19.88)
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "6"))
+    reps = int(os.environ.get("BENCH_REPS", "12"))
 
     cfg = ExperimentConfig.moe_small()
     if layers != cfg.model.num_layers:
