@@ -155,17 +155,14 @@ class GenerationPipeline:
         # transfer, and the remote-chip transfer latency is hidden behind
         # compute instead of serialized after every chunk.
         pending = []
-        starts = list(range(0, N, mb))
-        # one batched split instead of a per-chunk split: every split is a
-        # separate device dispatch (a measurable round trip on remote chips)
-        keys = jax.random.split(rng, len(starts))
-        for key, start in zip(keys, starts):
+        for start in range(0, N, mb):
             chunk = list(captions[start: start + mb])
             lens = list(m_lens[start: start + mb])
             n = len(chunk)
             # pad the tail chunk to the fixed micro-batch: one compiled shape
             chunk += [""] * (mb - n)
             lens += [self.cfg.model.max_frames] * (mb - n)
+            rng, key = jax.random.split(rng)
             motions = self._compiled(
                 self.params,
                 jnp.asarray(self.tokenize(chunk)),
