@@ -131,7 +131,10 @@ def _run():
 
     train_diag_fn = None
     if os.environ.get("BENCH_TRAIN", "1") != "0":
-        train_diag_fn = lambda: _train_diag(cfg, model, params, B, T, D)
+        # training benchmark at the reference's TRAIN batch size (32), not
+        # the sampling micro-batch
+        train_diag_fn = lambda: _train_diag(
+            cfg, model, params, cfg.train.batch_size, T, D)
     return result, diag, train_diag_fn
 
 
