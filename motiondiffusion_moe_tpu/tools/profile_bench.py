@@ -63,10 +63,12 @@ def capture(batch: int, steps: int, mode: str, log_dir: str) -> None:
     else:
         from motiondiffusion_moe_tpu.diffusion import make_schedule
         from motiondiffusion_moe_tpu.training.train_state import (
-            create_train_state, make_train_step)
+            TrainState, make_optimizer, make_train_step)
         sched = make_schedule(schedule_name=cfg.diffusion.beta_schedule,
                               num_timesteps=cfg.diffusion.num_timesteps)
-        state = create_train_state(model, cfg, jax.random.key(0))
+        tx = make_optimizer(cfg)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params), tx=tx)
         step_fn = make_train_step(model, sched, cfg)
         rng = jax.random.key(1)
         batch_data = {
@@ -85,54 +87,57 @@ def capture(batch: int, steps: int, mode: str, log_dir: str) -> None:
 
 
 def analyze(log_dir: str, top: int) -> None:
-    """Parse the xplane capture into a per-op table via xprof."""
-    from xprof.convert import raw_to_tool_data
+    """Parse the captured trace.json.gz into a device op-family table.
 
-    xplanes = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
-                        recursive=True)
-    if not xplanes:
-        print("no xplane.pb captured", file=sys.stderr)
+    (xprof's framework_op_stats converter emits gviz JSON that varies by
+    version; the trace-event stream is stable, so parse it directly.)
+    """
+    import gzip
+    import json
+    import re
+
+    traces = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                       recursive=True)
+    if not traces:
+        print("no trace.json.gz captured", file=sys.stderr)
         return
-    params = {"tqx": "out:csv;"}
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "framework_op_stats", params)
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-
-    import csv
-    import io
-    rows = list(csv.DictReader(io.StringIO(data)))
-    if not rows:
-        print("empty op stats", file=sys.stderr)
+    with gzip.open(sorted(traces)[-1]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    tids = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e["tid"])] = e["args"]["name"]
+    ops = [e for e in ev if e.get("ph") == "X"
+           and tids.get((e["pid"], e.get("tid"))) == "XLA Ops"]
+    if not ops:
+        print("no device ops in trace", file=sys.stderr)
         return
 
-    def f(row, key):
-        try:
-            return float(row.get(key, 0) or 0)
-        except ValueError:
-            return 0.0
-
-    # keep device (TPU) ops only
-    dev = [r for r in rows if (r.get("host_or_device") or "").lower()
-           not in ("host",)]
-    total = sum(f(r, "total_self_time_in_us") for r in dev)
     fam = defaultdict(float)
-    for r in dev:
-        name = (r.get("operation_name") or r.get("op_name") or "?")
-        cat = (r.get("category") or "?")
-        fam[cat] += f(r, "total_self_time_in_us")
-    print(f"\n== op-family rollup (device total {total/1e3:.2f} ms) ==")
-    for cat, us in sorted(fam.items(), key=lambda kv: -kv[1]):
-        print(f"  {cat:40s} {us/1e3:9.3f} ms  {100*us/max(total,1e-9):5.1f}%")
+    cnt = defaultdict(int)
+    agg = defaultdict(float)
+    acnt = defaultdict(int)
+    total = 0.0
+    for e in ops:
+        base = re.split(r"[.\d]", e["name"])[0]
+        if base == "while":     # the scan wrapper double-counts its body
+            continue
+        fam[base] += e["dur"]
+        cnt[base] += 1
+        agg[e["name"]] += e["dur"]
+        acnt[e["name"]] += 1
+        total += e["dur"]
 
-    print(f"\n== top {top} ops by self time ==")
-    dev.sort(key=lambda r: -f(r, "total_self_time_in_us"))
-    for r in dev[:top]:
-        name = (r.get("operation_name") or r.get("op_name") or "?")[:70]
-        cat = (r.get("category") or "?")[:24]
-        us = f(r, "total_self_time_in_us")
-        occ = int(f(r, "number_of_occurrences") or f(r, "occurrences"))
-        print(f"  {us/1e3:8.3f} ms  x{occ:5d}  [{cat}] {name}")
+    print(f"\n== op-family rollup (device total {total/1e3:.2f} ms; "
+          f"'branch_' wraps each Pallas kernel) ==")
+    for k in sorted(fam, key=lambda k: -fam[k])[:16]:
+        print(f"  {k:36s} {fam[k]/1e3:9.3f} ms "
+              f"{100*fam[k]/max(total,1e-9):5.1f}%  x{cnt[k]}")
+
+    print(f"\n== top {top} ops by total time ==")
+    for k in sorted(agg, key=lambda k: -agg[k])[:top]:
+        print(f"  {agg[k]/1e3:8.3f} ms  x{acnt[k]:5d}  {k[:70]}")
 
 
 def main() -> None:
