@@ -5,12 +5,16 @@ Capability match of ``text2motion/models/switch_moe.py`` +
 
 - The reference routes with a shape-dynamic Python loop over experts
   (``switch_moe.py:97-109``) — impossible under jit. Here routing is fully
-  vectorized with two interchangeable compute paths:
+  vectorized with three interchangeable compute paths:
 
-  * ``dense`` — run every expert on every token as one batched einsum and
-    combine with the top-k-masked gate weights. Overcompute factor E/k, but
-    zero gather/scatter and perfectly MXU-shaped; the right trade for
-    E<=8 at this model size.
+  * ``dense_fused`` (default) — all experts as TWO stacked matmuls with the
+    combine gates applied to the hidden activations (algebraically equal to
+    per-expert combination; never materializes the [E, S, D] tensor).
+    Fastest on one device; merging the E dim defeats SPMD expert sharding.
+  * ``dense`` — per-expert einsums keeping E a named contractable dim the
+    XLA SPMD partitioner shards over the 'expert' mesh axis. Overcompute
+    factor E/k either way — zero gather/scatter, MXU-shaped, the right
+    trade for E<=8 at this model size.
   * ``dispatch`` — classic capacity-factor dispatch/combine (one-hot
     position-in-expert), the layout expert-parallel all-to-all needs. Exact
     match of ``dense`` when no token overflows capacity.
