@@ -66,12 +66,13 @@ def _run():
     from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
 
     # micro-batch 16 measured best under pipelined fetches (16: 19.49,
-    # 32: 19.45 motions/s on v5e); 12 reps amortize the one non-overlapped
-    # tail fetch (6 reps: 19.49, 12 reps: 19.88)
+    # 32: 19.45 motions/s on v5e); 24 reps = sustained throughput over 384
+    # motions with the warm-up/tail amortized (6: 19.49, 12: 19.88,
+    # 24: 19.99), ~20 s timing region
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "12"))
+    reps = int(os.environ.get("BENCH_REPS", "24"))
 
     cfg = ExperimentConfig.moe_small()
     if layers != cfg.model.num_layers:
