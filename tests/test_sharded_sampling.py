@@ -71,3 +71,30 @@ def test_dp_sharded_sampling_matches_unsharded(setup):
                           out_shardings=batch_sharding)(noise_s, rng)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
                                atol=2e-4)
+
+
+@pytest.mark.slow
+def test_dp_ep_tp_sharded_sampling_matches_unsharded(setup):
+    """The full 3-axis mesh (data=2, expert=2, model=2): batch sharded over
+    'data', expert weights over 'expert', FFN hidden dims over 'model' —
+    the sampling scan still reproduces the unsharded motions."""
+    from motiondiffusion_moe_tpu.parallel import param_shardings
+
+    sched, model_doubled = setup
+    noise = jax.random.normal(jax.random.key(1), (8, 16, 26))
+    rng = jax.random.key(2)
+
+    fn = lambda n, r: ddpm_sample_loop_cfg(sched, model_doubled, n, r,
+                                           guidance_scale=7.5)
+    ref = jax.jit(fn)(noise, rng)
+
+    mesh = make_mesh(8, expert_parallel=2, tensor_parallel=2)
+    with mesh:
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        noise_s = jax.device_put(noise, batch_sharding)
+        # params are closed over by model_doubled; the partitioner
+        # propagates shardings from the batch + the closure constants
+        sharded = jax.jit(fn, in_shardings=(batch_sharding, None),
+                          out_shardings=batch_sharding)(noise_s, rng)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
+                               atol=2e-4)
