@@ -109,8 +109,13 @@ def _run():
     # warmup/compile
     _log("compiling sampler...")
     t0 = time.time()
-    pipe.generate(captions, lens, rng=jax.random.key(0))
+    warm = pipe.generate(captions, lens, rng=jax.random.key(0))
     compile_s = time.time() - t0
+    # a NaN-producing kernel regression must not hide behind a good
+    # throughput number: the sampled motions have to be finite
+    import numpy as np
+    assert all(np.isfinite(m).all() for m in warm), \
+        "benchmark sampler produced non-finite motions"
     _log(f"sampler compiled in {compile_s:.1f}s; timing...")
 
     # one generate over reps*B prompts: micro-batches are dispatched

@@ -26,12 +26,24 @@ _build_error: Optional[str] = None
 
 
 def _build() -> bool:
+    """Run ``make`` under an inter-process file lock: concurrent processes
+    (subprocess-spawning CLI tests, bench runs) would otherwise race on
+    rebuilding the .so after a source change, and one could dlopen a
+    partially written library."""
     global _build_error
+    lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True, text=True)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        import fcntl
+
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True, text=True)
+                return True
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         _build_error = getattr(e, "stderr", str(e)) or str(e)
         return False
 

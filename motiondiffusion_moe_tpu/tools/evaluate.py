@@ -81,6 +81,10 @@ def main(argv=None) -> None:
     p.add_argument("--diversity_times", type=int, default=300)
     p.add_argument("--max_samples", type=int, default=0,
                    help="cap the eval set size (0 = all)")
+    p.add_argument("--score_samples", type=int, default=0,
+                   help="cap the joint-space MAE/velocity/jerk scoring set "
+                        "(0 = the FULL eval set, matching the reference's "
+                        "whole-test-loader score loop)")
     p.add_argument("--skip_joint_scores", action="store_true")
     args = p.parse_args(argv)
 
@@ -162,8 +166,14 @@ def main(argv=None) -> None:
                          model_name=cfg.name)
 
     if not args.skip_joint_scores:
-        # MAE / velocity / jerk in joint space (tools/evaluation.py:47-140)
-        n = min(len(samples), 32)
+        # MAE / velocity / jerk in joint space over the ENTIRE eval set by
+        # default, matching the reference's whole-test-loader score loop
+        # (tools/evaluation.py:47-140, loop at :72-101); --score_samples
+        # subsets explicitly, and either way the count is logged.
+        n = (min(len(samples), args.score_samples) if args.score_samples
+             else len(samples))
+        print(f"[evaluate] joint-space scores over {n}/{len(samples)} "
+              "samples")
         caps = [s.caption for s in samples[:n]]
         lens = [s.m_length for s in samples[:n]]
         outs = generate(caps, lens, 12345)

@@ -50,17 +50,28 @@ class TestDebertaEncoder:
         assert enc.tokens.shape == (2, 14, 32)
         assert np.isfinite(np.asarray(enc.pooled)).all()
 
-    def test_padding_invariance(self, setup):
-        """Changing PAD token ids must not change outputs (mask works)."""
-        m, params, ids = setup
-        out1 = m.apply(params, ids)
-        ids2 = ids.at[0, 4:].set(99)  # change padded ids only... but mask is
-        # ids != 0 so changing to 99 unmasks them. Instead: same ids, check
-        # that a padded row with different garbage BEYOND mask has no effect
-        # by comparing two pad values 0 vs 0 (identity) — use embeddings
-        # masked at input: verify the mask multiplication zeroed pad rows.
-        enc = m.apply(params, ids, deterministic=True)
-        assert enc.tokens.shape[1] == 14
+    def test_padding_invariance(self):
+        """Perturbing token ids BEYOND the attention mask must not change
+        the outputs at valid positions: the encoder masks pad keys with a
+        -1e9 score bias and zeroes pad embeddings, so pad-position garbage
+        cannot leak into real tokens."""
+        cfg = DebertaConfig.tiny()
+        enc = DebertaEncoder(cfg=cfg)
+        ids = jnp.asarray([[1, 5, 9, 12, 0, 0], [1, 3, 0, 0, 0, 0]],
+                          jnp.int32)
+        mask = (ids != 0).astype(jnp.float32)  # explicit: ids can change
+        params = enc.init(jax.random.key(0), ids, mask)
+
+        out1 = np.asarray(enc.apply(params, ids, mask))
+        # garbage at every masked position (99 is a real vocab id — without
+        # the explicit mask argument this WOULD change the output)
+        ids2 = jnp.where(mask > 0, ids, 99)
+        assert not np.array_equal(np.asarray(ids), np.asarray(ids2))
+        out2 = np.asarray(enc.apply(params, ids2, mask))
+
+        valid = np.asarray(mask) > 0
+        np.testing.assert_allclose(out2[valid], out1[valid],
+                                   atol=1e-5, rtol=1e-5)
 
     def test_jit_and_grad(self, setup):
         m, params, ids = setup

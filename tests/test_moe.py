@@ -36,8 +36,9 @@ class TestSwitchMoE:
         usage = np.asarray(cols["moe_metrics"]["expert_usage"])
         assert usage[0] == 6 and usage[1:].sum() == 0  # ties -> expert 0 top-1
 
-    @pytest.mark.slow
     def test_dense_vs_dispatch_equal(self):
+        # deliberately NOT marked slow: the cheapest dense-vs-dispatch
+        # parity case must run in the default (-m "not slow") subset
         """With ample capacity the two compute paths are numerically equal."""
         x = jax.random.normal(jax.random.key(2), (4, 8, 16))
         md = SwitchMoELayer(latent_dim=16, hidden_dim=32, num_experts=4,

@@ -158,8 +158,9 @@ class TestFavorQKVKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
 
-    @pytest.mark.slow
     def test_custom_vjp_matches_reference_grad(self):
+        # deliberately NOT marked slow: the cheapest custom-VJP parity case
+        # must run in the default (-m "not slow") subset
         qkv, scale, bias, proj = self._inputs(B=1, H=2, T=8, D=4, m=8)
 
         def f_custom(x, s, b, p):
