@@ -99,7 +99,10 @@ class ModelConfig:
     # --- stochastic depth (models/time.py:35-48, transformer.py:227) ---
     stochastic_depth_min: float = 0.8  # survival probs linspace(1.0 -> 0.8)
     # --- text encoder (models/text_encoder.py) ---
-    text_encoder: str = "hash"         # "deberta-v3-large" | "hash"
+    text_encoder: str = "hash"         # "deberta-v3-large" | "deberta-tiny" | "hash"
+    # local HF checkpoint (dir with pytorch_model.bin, or a .bin/.pt file)
+    # grafted into the text encoder at train init; "" = random init (warned)
+    text_encoder_ckpt: str = ""
     text_latent_dim: int = 128         # tools/train.py:65
     text_num_prompt_tokens: int = 8    # learned prompt tokens (text_encoder.py:19-22)
     text_max_tokens: int = 77          # tokenizer max_length (text_encoder.py:25-28)

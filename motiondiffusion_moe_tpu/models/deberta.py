@@ -257,8 +257,11 @@ class DebertaTextEncoder(nn.Module):
 # tokenizer + weight conversion
 # ---------------------------------------------------------------------------
 
-def get_deberta_tokenizer(max_tokens: int = 77) -> Callable[[List[str]], np.ndarray]:
-    """HF SentencePiece tokenizer when locally available, hash fallback."""
+def get_deberta_tokenizer(max_tokens: int = 77, vocab_size: int = 128100
+                          ) -> Callable[[List[str]], np.ndarray]:
+    """HF SentencePiece tokenizer when locally available, hash fallback
+    (hashed into the ENCODER's vocab so small test configs never see
+    out-of-range ids)."""
     try:
         from transformers import AutoTokenizer
 
@@ -272,7 +275,8 @@ def get_deberta_tokenizer(max_tokens: int = 77) -> Callable[[List[str]], np.ndar
 
         return tokenize
     except Exception:
-        return lambda texts: hash_tokenize(texts, max_tokens)
+        return lambda texts: hash_tokenize(texts, max_tokens,
+                                           vocab_size=min(vocab_size, 8192))
 
 
 def convert_hf_deberta_checkpoint(state_dict: Dict[str, Any],
@@ -326,4 +330,94 @@ def get_deberta_encoder(cfg: ModelConfig):
     module = DebertaTextEncoder(output_dim=cfg.text_latent_dim, cfg=dcfg,
                                 num_prompt_tokens=cfg.text_num_prompt_tokens,
                                 dropout=cfg.dropout)
-    return get_deberta_tokenizer(cfg.text_max_tokens), module
+    return get_deberta_tokenizer(cfg.text_max_tokens, dcfg.vocab_size), module
+
+
+# ---------------------------------------------------------------------------
+# pretrained-weight grafting (the reference's ``AutoModel.from_pretrained``
+# path, ``text_encoder.py:9-11`` — trained jointly from pretrained init)
+# ---------------------------------------------------------------------------
+
+def load_hf_deberta_state_dict(path: str) -> Dict[str, Any]:
+    """Load a LOCAL HF DeBERTa torch state_dict.
+
+    ``path``: a directory containing ``pytorch_model.bin`` (the HF save
+    layout) or a direct ``.bin``/``.pt`` file. Keys with a leading
+    ``deberta.`` prefix (full-model checkpoints) are stripped to the bare
+    encoder layout the converter expects.
+    """
+    import os
+
+    import torch
+
+    if os.path.isdir(path):
+        for name in ("pytorch_model.bin", "model.bin", "model.pt"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(
+                f"no pytorch_model.bin / model.bin / model.pt in {path}")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if any(k.startswith("deberta.") for k in sd):
+        sd = {k[len("deberta."):]: v for k, v in sd.items()
+              if k.startswith("deberta.")}
+    return sd
+
+
+def graft_pretrained_text_encoder(variables: Dict[str, Any],
+                                  cfg: ModelConfig) -> Dict[str, Any]:
+    """Graft pretrained DeBERTa weights into a :class:`MotionTransformer`
+    variables tree (the ``params/text_encoder/bert`` subtree).
+
+    Returns the tree unchanged for non-DeBERTa configs. With a DeBERTa
+    config and no ``text_encoder_ckpt`` it WARNS loudly and keeps random
+    init (the zero-egress fallback) — never silently.
+    """
+    import warnings
+
+    if not cfg.text_encoder.startswith("deberta"):
+        return variables
+    if not cfg.text_encoder_ckpt:
+        warnings.warn(
+            f"text_encoder='{cfg.text_encoder}' with no text_encoder_ckpt: "
+            "the DeBERTa backbone is RANDOM-INIT. Pass --deberta_ckpt (a "
+            "local HF checkpoint dir) to train from pretrained weights as "
+            "the reference does.", stacklevel=2)
+        return variables
+
+    import flax
+
+    dcfg = (DebertaConfig.large() if "large" in cfg.text_encoder
+            else DebertaConfig.tiny())
+    sd = load_hf_deberta_state_dict(cfg.text_encoder_ckpt)
+    bert = convert_hf_deberta_checkpoint(sd, dcfg)
+
+    params = variables["params"]
+    if "text_encoder" not in params or "bert" not in params["text_encoder"]:
+        raise ValueError(
+            "variables tree has no params/text_encoder/bert subtree — is "
+            "the model built with a DeBERTa text encoder?")
+    old = flax.traverse_util.flatten_dict(params["text_encoder"]["bert"])
+    new = flax.traverse_util.flatten_dict(bert)
+    if set(old) != set(new):
+        missing = set(old) - set(new)
+        extra = set(new) - set(old)
+        raise ValueError(
+            f"checkpoint/model tree mismatch: missing {sorted(missing)[:5]} "
+            f"extra {sorted(extra)[:5]}")
+    for k in old:
+        a, b = old[k].shape, np.asarray(new[k]).shape
+        if a != b:
+            raise ValueError(f"shape mismatch at {'/'.join(k)}: {a} vs {b}")
+    # device_put (data-plane only, no compile) — an eager jnp.asarray per
+    # leaf would pay a program round-trip each on the remote-chip tunnel
+    graft = {k: jax.device_put(np.asarray(v, dtype=old[k].dtype))
+             for k, v in new.items()}
+    text_enc = dict(params["text_encoder"])
+    text_enc["bert"] = flax.traverse_util.unflatten_dict(graft)
+    return flax.core.copy(variables, {
+        "params": {**params, "text_encoder": text_enc}})

@@ -40,7 +40,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no_moe", action="store_true")
     p.add_argument("--model_size", default="small", choices=["small", "big"])
     p.add_argument("--text_encoder", default="hash",
-                   choices=["hash", "deberta-v3-large"])
+                   choices=["hash", "deberta-v3-large", "deberta-tiny"])
+    p.add_argument("--deberta_ckpt", default="",
+                   help="local HF DeBERTa checkpoint (dir with "
+                        "pytorch_model.bin, or a .bin/.pt file) grafted "
+                        "into the text encoder at init; without it a "
+                        "deberta text_encoder trains from RANDOM init "
+                        "(warned)")
     p.add_argument("--text_latent_dim", type=int, default=128)
     p.add_argument("--times", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
@@ -88,6 +94,7 @@ def config_from_args(args: argparse.Namespace):
         num_layers=args.num_layers, num_heads=args.num_heads,
         use_moe=not args.no_moe, num_experts=args.num_experts,
         text_encoder=args.text_encoder,
+        text_encoder_ckpt=args.deberta_ckpt,
         text_latent_dim=args.text_latent_dim * mult)
 
     return ExperimentConfig(
