@@ -35,6 +35,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import Mesh
 
 
 def switch_aux_loss(probs: jnp.ndarray, top1_idx: jnp.ndarray,
@@ -62,8 +63,13 @@ class SwitchMoELayer(nn.Module):
     # "dense_fused": all-experts as two stacked matmuls (fastest on one
     #   device; merging the E dim defeats XLA-SPMD expert sharding)
     # "dense": per-expert einsums XLA can partition over an 'expert' axis
-    # "dispatch": static-capacity dispatch/combine (the EP all-to-all layout)
+    # "dispatch": static-capacity dispatch/combine (the EP all-to-all
+    #   layout). With a `mesh` whose 'expert' axis is >1 this routes through
+    #   the EXPLICIT shard_map all-to-all (parallel.moe_parallel): the right
+    #   layout at high expert counts where the dense einsum's E/top_k
+    #   overcompute (8x at E=16 top-2) stops being a good trade.
     compute: str = "dense_fused"
+    mesh: Optional[Mesh] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -148,9 +154,22 @@ class SwitchMoELayer(nn.Module):
                 y = jnp.einsum("esh,ehd->esd", h, w2) + b2[:, None, :]
                 out = jnp.einsum("esd,se->sd", y, combine_se)
         elif self.compute == "dispatch":
-            out = _capacity_dispatch_ffn(
-                x_flat.astype(self.dtype), top_idx, top_vals,
-                w1, b1, w2, b2, capacity_factor=self.capacity_factor)
+            mesh = self.mesh
+            ep = mesh.shape.get("expert", 1) if mesh is not None else 1
+            if ep > 1:
+                # explicit shard_map all-to-all over the 'expert' axis
+                # (composes with TP via the closing psum over 'model')
+                from motiondiffusion_moe_tpu.parallel.moe_parallel import (
+                    ep_moe_ffn_sharded)
+
+                out = ep_moe_ffn_sharded(
+                    x_flat.astype(self.dtype), gate_logits.astype(self.dtype),
+                    w1, b1, w2, b2, mesh=mesh, top_k=self.top_k,
+                    capacity_factor=self.capacity_factor, num_experts=E)
+            else:
+                out = _capacity_dispatch_ffn(
+                    x_flat.astype(self.dtype), top_idx, top_vals,
+                    w1, b1, w2, b2, capacity_factor=self.capacity_factor)
         else:
             raise ValueError(f"unknown moe compute mode: {self.compute}")
 
@@ -206,6 +225,7 @@ class MoEMultiBranchFFN(nn.Module):
     dropout: float = 0.1
     time_embed_dim: int = 512
     moe_compute: str = "dense_fused"
+    mesh: Optional[Mesh] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -222,6 +242,7 @@ class MoEMultiBranchFFN(nn.Module):
                                top_k=self.top_k,
                                capacity_factor=self.capacity_factor,
                                compute=self.moe_compute,
+                               mesh=self.mesh,
                                dtype=self.dtype,
                                name=f"branch_{i}_moe")(h, deterministic)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)

@@ -26,6 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import Mesh
 import numpy as np
 
 from motiondiffusion_moe_tpu.config import ModelConfig
@@ -65,6 +66,7 @@ class MoEDecoderLayer(nn.Module):
     capacity_factor: float = 2.0
     use_moe: bool = True
     moe_compute: str = "dense_fused"
+    mesh: Optional[Mesh] = None
     use_fast_xattn: bool = False
     chunk_size: int = 256
     num_features: int = 256
@@ -90,7 +92,8 @@ class MoEDecoderLayer(nn.Module):
                 num_experts=self.num_experts, num_branches=self.num_branches,
                 top_k=self.top_k, capacity_factor=self.capacity_factor,
                 dropout=self.dropout, time_embed_dim=self.time_embed_dim,
-                moe_compute=self.moe_compute, dtype=self.dtype,
+                moe_compute=self.moe_compute, mesh=self.mesh,
+                dtype=self.dtype,
                 name="ffn")(x, emb, deterministic)
         else:
             x = DenseFFN(
@@ -108,9 +111,16 @@ class MoEDecoderLayer(nn.Module):
 
 
 class MotionTransformer(nn.Module):
-    """2-scale U-Net denoiser (``transformer.py:166-361``)."""
+    """2-scale U-Net denoiser (``transformer.py:166-361``).
+
+    ``mesh``: optional device mesh handed to the MoE layers so
+    ``moe_compute='dispatch'`` routes through the explicit shard_map
+    all-to-all over the 'expert' axis (static module metadata — it does
+    not change the param tree).
+    """
 
     config: ModelConfig
+    mesh: Optional[Mesh] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -150,6 +160,7 @@ class MotionTransformer(nn.Module):
             num_experts=cfg.num_experts, num_branches=cfg.moe_num_branches,
             top_k=cfg.moe_top_k, capacity_factor=cfg.moe_capacity_factor,
             use_moe=cfg.use_moe, moe_compute=cfg.moe_compute,
+            mesh=self.mesh,
             use_fast_xattn=cfg.use_fast_xattn,
             chunk_size=cfg.xattn_chunk_size,
             num_features=cfg.num_random_features, dtype=dtype)

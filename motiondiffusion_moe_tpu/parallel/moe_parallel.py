@@ -25,13 +25,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from motiondiffusion_moe_tpu.parallel.mesh import DATA_AXIS, EXPERT_AXIS
+from motiondiffusion_moe_tpu.parallel.mesh import (
+    DATA_AXIS,
+    EXPERT_AXIS,
+    MODEL_AXIS,
+)
 
 
-def _local_moe_math(x, gate_w, gate_b, top_k: int, capacity: int,
-                    num_experts: int):
-    """Routing + dispatch/combine tensors for the local token shard."""
-    logits = x @ gate_w + gate_b
+def _dispatch_combine_from_logits(x, logits, top_k: int, capacity: int,
+                                  num_experts: int):
+    """Dispatch/combine tensors for the local token shard from precomputed
+    gate logits (routing is per-token, so per-shard top-k equals the global
+    decision)."""
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     top_vals, top_idx = jax.lax.top_k(probs, top_k)
     top_vals = top_vals.astype(x.dtype)
@@ -50,6 +55,14 @@ def _local_moe_math(x, gate_w, gate_b, top_k: int, capacity: int,
         combine = combine + d_j * top_vals[:, j][:, None, None]
         fill = fill + jnp.sum(mask_se * within.astype(jnp.int32), axis=0)
     return dispatch, combine
+
+
+def _local_moe_math(x, gate_w, gate_b, top_k: int, capacity: int,
+                    num_experts: int):
+    """Routing + dispatch/combine tensors for the local token shard."""
+    logits = x @ gate_w + gate_b
+    return _dispatch_combine_from_logits(x, logits, top_k, capacity,
+                                         num_experts)
 
 
 def ep_moe_ffn(x: jnp.ndarray,
@@ -121,3 +134,97 @@ def make_ep_moe_layer(mesh: Mesh, num_experts: int, top_k: int = 2,
           params["b1"], params["w2"], params["b2"])
 
     return jax.jit(wrapped)
+
+
+# ---------------------------------------------------------------------------
+# the model-consumable entry: called from SwitchMoELayer(compute="dispatch")
+# under a mesh, composing EP all-to-all with Megatron TP on the experts
+# ---------------------------------------------------------------------------
+
+def _ep_moe_body_from_logits(x, logits, w1, b1, w2, b2, *,
+                             top_k: int, capacity_factor: float,
+                             num_experts: int,
+                             expert_axis: str = EXPERT_AXIS,
+                             model_axis: str = MODEL_AXIS) -> jnp.ndarray:
+    """shard_map body: EP all-to-all dispatch with TP'd experts.
+
+    ``x`` [S_loc, D] + ``logits`` [S_loc, E] local token shards (sharded
+    jointly over (data, expert)); ``w1`` [E_local, D, H_local] /
+    ``w2`` [E_local, H_local, D] local expert shards (expert dim over
+    'expert', hidden dim over 'model'); ``b2`` replicated. The second
+    matmul contracts the model-sharded hidden dim, closed by a psum over
+    'model' (no-op at TP=1).
+    """
+    ep = jax.lax.axis_size(expert_axis)
+    e_local = w1.shape[0]
+    assert e_local * ep == num_experts
+    S_loc, D = x.shape
+    capacity = max(1, int(-(-S_loc * capacity_factor // num_experts)))
+
+    dispatch, combine = _dispatch_combine_from_logits(
+        x, logits, top_k, capacity, num_experts)
+
+    expert_in = jnp.einsum("sec,sd->ecd", dispatch, x)
+    expert_in = expert_in.reshape(ep, e_local, capacity, D)
+    expert_in = jax.lax.all_to_all(expert_in, expert_axis, split_axis=0,
+                                   concat_axis=0, tiled=True)
+    expert_in = expert_in.reshape(ep, e_local, capacity, D)
+    expert_in = expert_in.transpose(1, 0, 2, 3).reshape(
+        e_local, ep * capacity, D)
+
+    # column-parallel first matmul (b1 sharded on H), row-parallel second
+    h = jnp.einsum("ecd,edh->ech", expert_in, w1) + b1[:, None, :]
+    h = jax.nn.gelu(h)
+    y = jnp.einsum("ech,ehd->ecd", h, w2)
+    y = jax.lax.psum(y, model_axis)
+    y = y + b2[:, None, :]
+
+    y = y.reshape(e_local, ep, capacity, D).transpose(1, 0, 2, 3)
+    y = y.reshape(ep, e_local, capacity, D)
+    y = jax.lax.all_to_all(y, expert_axis, split_axis=0, concat_axis=0,
+                           tiled=True)
+    y = y.reshape(num_experts, capacity, D)
+    return jnp.einsum("sec,ecd->sd", combine, y)
+
+
+def ep_moe_ffn_sharded(x_flat: jnp.ndarray, gate_logits: jnp.ndarray,
+                       w1: jnp.ndarray, b1: jnp.ndarray,
+                       w2: jnp.ndarray, b2: jnp.ndarray,
+                       *, mesh: Mesh, top_k: int, capacity_factor: float,
+                       num_experts: int) -> jnp.ndarray:
+    """Expert-parallel MoE FFN over an explicit shard_map all-to-all — the
+    BASELINE north-star dispatch layout ("top-k dispatch/combine via
+    all_to_all over ICI inside shard_map"), callable from inside a jitted
+    model. Gradients flow through shard_map (backward all-to-alls are
+    inserted automatically).
+
+    ``x_flat`` [S, D] global tokens, ``gate_logits`` [S, E] global routing
+    logits (computed by the layer's gate so the param tree is unchanged);
+    weights in the [E, ...] global layout the DP x EP x TP sharding rules
+    place over ('expert', 'model').
+    """
+    ep = mesh.shape.get(EXPERT_AXIS, 1)
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    S = x_flat.shape[0]
+    if S % (dp * ep) != 0:
+        raise ValueError(
+            f"token count {S} not divisible by data*expert = {dp * ep}; "
+            "pad the batch or reduce the expert-parallel degree")
+    assert num_experts % ep == 0, (num_experts, ep)
+    assert w1.shape[2] % tp == 0, (w1.shape, tp)
+
+    body = functools.partial(
+        _ep_moe_body_from_logits, top_k=top_k,
+        capacity_factor=capacity_factor, num_experts=num_experts)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P((DATA_AXIS, EXPERT_AXIS)),      # x
+                  P((DATA_AXIS, EXPERT_AXIS)),      # logits
+                  P(EXPERT_AXIS, None, MODEL_AXIS),  # w1 [E, D, H]
+                  P(EXPERT_AXIS, MODEL_AXIS),        # b1 [E, H]
+                  P(EXPERT_AXIS, MODEL_AXIS, None),  # w2 [E, H, D]
+                  P(EXPERT_AXIS)),                   # b2 [E, D]
+        out_specs=P((DATA_AXIS, EXPERT_AXIS)),
+    )(x_flat, gate_logits, w1, b1, w2, b2)

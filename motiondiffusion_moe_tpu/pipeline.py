@@ -10,7 +10,11 @@ Capability match of ``DDPMTrainer.generate`` / ``generate_batch``
   step does one doubled-batch forward (cond rows stacked over uncond rows);
 - DDPM (1000 steps) and strided DDIM (e.g. 50 steps) share the machinery;
 - batches are padded to a fixed micro-batch so one compiled program serves
-  any prompt count (the reference re-runs Python per micro-batch of 8).
+  any prompt count (the reference re-runs Python per micro-batch of 8);
+- an optional ``jax.sharding.Mesh`` makes serving multi-chip: params are
+  placed per the DP x EP x TP rules (:func:`parallel.param_shardings`) and
+  the batch is sharded over the 'data' axis, so a v5e-8 pod serves one
+  pipeline with all chips busy (the BASELINE target hardware).
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ from typing import List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from motiondiffusion_moe_tpu.config import ExperimentConfig
 from motiondiffusion_moe_tpu.diffusion.gaussian import (
@@ -49,10 +54,28 @@ class GenerationPipeline:
                  sampler: str = "ddpm",          # "ddpm" | "ddim" | "dpm"
                  num_inference_steps: Optional[int] = None,  # None = all T
                  eta: float = 0.0,
-                 micro_batch: int = 8):
+                 micro_batch: int = 8,
+                 mesh: Optional[Mesh] = None,
+                 fetch_window: int = 2,
+                 graft_pretrained_text: bool = False):
         self.cfg = cfg
-        self.model = model or MotionTransformer(config=cfg.model)
-        self.params = params
+        self.model = model or MotionTransformer(config=cfg.model, mesh=mesh)
+        self.mesh = mesh
+        self.fetch_window = max(1, fetch_window)
+        if mesh is not None:
+            dp = mesh.shape.get("data", 1)
+            assert micro_batch % dp == 0, (
+                f"micro_batch {micro_batch} not divisible by the mesh data "
+                f"axis ({dp})")
+        if graft_pretrained_text and params is not None:
+            # for sampling from FRESH (untrained) params with a pretrained
+            # DeBERTa backbone. Default off: params restored from a training
+            # checkpoint already carry the (finetuned) text encoder, and
+            # re-grafting would overwrite the finetune.
+            from motiondiffusion_moe_tpu.models.deberta import (
+                graft_pretrained_text_encoder)
+            params = graft_pretrained_text_encoder(params, cfg.model)
+        self.params = self._place_params(params)
         self.tokenize, _ = get_text_encoder(cfg.model)
         self.micro_batch = micro_batch
         self.sampler = sampler
@@ -80,6 +103,22 @@ class GenerationPipeline:
             self.sched = base
             self.timestep_map = None
         self._compiled = None
+
+    # ------------------------------------------------------------------
+    def _place_params(self, params):
+        """Place params per the mesh's DP x EP x TP sharding rules (expert
+        weights over 'expert', FFN hidden dims over 'model', rest
+        replicated); pass-through without a mesh."""
+        if params is None or self.mesh is None:
+            return params
+        from motiondiffusion_moe_tpu.parallel import param_shardings
+
+        return jax.device_put(params, param_shardings(params, self.mesh))
+
+    def set_params(self, params) -> None:
+        """Install (and, under a mesh, shard) new params; keeps the compiled
+        sampler (param shapes are unchanged between checkpoints)."""
+        self.params = self._place_params(params)
 
     # ------------------------------------------------------------------
     def _sample_fn(self):
@@ -134,7 +173,21 @@ class GenerationPipeline:
                 guidance_scale=guidance, mean_type=mean_type,
                 var_type=var_type, clip_denoised=clip, timestep_map=tmap)
 
-        return jax.jit(fn)
+        if self.mesh is None:
+            return jax.jit(fn)
+        # multi-chip serving: params per the DP x EP x TP rules, batch
+        # (token ids / lengths / output motions) sharded over 'data'; XLA
+        # inserts the expert all-to-all and row-parallel psums over ICI
+        from motiondiffusion_moe_tpu.parallel import param_shardings
+
+        assert self.params is not None, "mesh pipeline needs params at build"
+        batch_sh = NamedSharding(self.mesh, P("data"))
+        repl = NamedSharding(self.mesh, P())
+        return jax.jit(
+            fn,
+            in_shardings=(param_shardings(self.params, self.mesh),
+                          batch_sh, batch_sh, batch_sh, repl),
+            out_shardings=batch_sh)
 
     # ------------------------------------------------------------------
     def generate(self, captions: Sequence[str], m_lens: Sequence[int],
@@ -150,11 +203,23 @@ class GenerationPipeline:
         N = len(captions)
         mb = self.micro_batch
         uncond_ids = self.tokenize([""] * mb)
-        # Dispatch ALL micro-batches first (jax dispatch is async), then
-        # fetch: chunk i+1's device compute overlaps chunk i's host
-        # transfer, and the remote-chip transfer latency is hidden behind
-        # compute instead of serialized after every chunk.
+        # Dispatch ahead of the fetch by a BOUNDED window (jax dispatch is
+        # async): chunk i+1..i+k's device compute overlaps chunk i's host
+        # transfer, hiding the remote-chip fetch latency behind compute,
+        # while device-resident output buffers stay O(k) instead of
+        # O(total prompts) — large eval-protocol generations (thousands of
+        # motions) would otherwise build unbounded HBM pressure.
+        window = self.fetch_window
         pending = []
+        outputs: List[np.ndarray] = []
+
+        def drain(slot):
+            motions, lens, n = slot
+            motions = np.asarray(motions)
+            for i in range(n):
+                outputs.append(motions[i, : int(min(lens[i],
+                                                    motions.shape[1]))])
+
         for start in range(0, N, mb):
             chunk = list(captions[start: start + mb])
             lens = list(m_lens[start: start + mb])
@@ -171,10 +236,9 @@ class GenerationPipeline:
                             .astype(np.int32)),
                 key)
             pending.append((motions, lens, n))
+            if len(pending) > window:
+                drain(pending.pop(0))
 
-        outputs: List[np.ndarray] = []
-        for motions, lens, n in pending:
-            motions = np.asarray(motions)
-            for i in range(n):
-                outputs.append(motions[i, : int(min(lens[i], motions.shape[1]))])
+        for slot in pending:
+            drain(slot)
         return outputs

@@ -46,17 +46,31 @@ class Trainer:
                  logger: Optional[MetricsLogger] = None):
         self.cfg = cfg
         self.mesh = self._maybe_make_mesh(cfg)
-        if (model is None and self.mesh is not None
-                and self.mesh.shape.get(cfg.parallel.expert_axis, 1) > 1
-                and cfg.model.moe_compute == "dense_fused"):
-            # dense_fused merges the expert dim into one matmul, which the
-            # SPMD partitioner cannot shard over the 'expert' axis — EP runs
-            # use the per-expert einsum form instead.
+        sharded_axes = self.mesh is not None and (
+            self.mesh.shape.get(cfg.parallel.expert_axis, 1) > 1
+            or self.mesh.shape.get(cfg.parallel.model_axis, 1) > 1)
+        if sharded_axes and cfg.model.moe_compute == "dense_fused":
+            # dense_fused merges the expert AND hidden dims into one matmul:
+            # the SPMD partitioner can neither shard the merged E dim over
+            # 'expert' nor the merged H dim over 'model' (it would all-gather
+            # the expert FFN weights every step). EP/TP runs use the
+            # per-expert einsum form instead.
+            if model is not None:
+                raise ValueError(
+                    "caller-supplied model uses moe_compute='dense_fused' on "
+                    f"a mesh with expert/model axes {dict(self.mesh.shape)}: "
+                    "the fused matmul cannot be expert- or tensor-sharded. "
+                    "Build the model with moe_compute='dense' (or "
+                    "'dispatch') for EP/TP runs.")
             import dataclasses
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, moe_compute="dense"))
             self.cfg = cfg
-        self.model = model or MotionTransformer(config=cfg.model)
+        # the mesh rides along as static module metadata: with
+        # moe_compute="dispatch" and an expert axis > 1 the MoE layers
+        # route through the explicit shard_map all-to-all
+        self.model = model or MotionTransformer(config=cfg.model,
+                                                mesh=self.mesh)
         self.tokenize, _ = get_text_encoder(cfg.model)
         self.sched = make_schedule(
             schedule_name=cfg.diffusion.beta_schedule,
@@ -105,7 +119,17 @@ class Trainer:
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.key(self.cfg.train.seed)
-        return create_train_state(self.model, self.cfg, rng)
+        state = create_train_state(self.model, self.cfg, rng)
+        if self.cfg.model.text_encoder.startswith("deberta"):
+            # graft pretrained DeBERTa weights (or warn-and-random-init) —
+            # the reference trains from `AutoModel.from_pretrained(...)`
+            # (text_encoder.py:9-11); adam moments stay zero, so grafting
+            # after optimizer init is exact
+            from motiondiffusion_moe_tpu.models.deberta import (
+                graft_pretrained_text_encoder)
+            state = state.replace(params=graft_pretrained_text_encoder(
+                state.params, self.cfg.model))
+        return state
 
     def _make_batch(self, captions, motions, lengths) -> Dict[str, jnp.ndarray]:
         B = motions.shape[0]

@@ -67,13 +67,13 @@ class TestKitConfig:
 
 
 class TestBigExpertSharded:
-    """BASELINE config #5 shape: 16 experts sharded over the expert axis."""
+    """BASELINE config #5 shape: 16 experts sharded over the expert axis,
+    driven through the EXPLICIT shard_map all-to-all dispatch path
+    (moe_compute='dispatch' + mesh — the BASELINE north-star layout), with
+    train-step parity against the XLA-SPMD dense einsum path."""
 
-    @pytest.mark.slow
-    def test_16_experts_ep4(self):
-        ep = 4
-        dp = 8 // ep
-        cfg = ExperimentConfig(
+    def _cfg(self, moe_compute: str, dp: int, capacity_factor: float):
+        return ExperimentConfig(
             name="big_ep",
             data=DataConfig(dim_pose=26, max_motion_length=16, num_joints=4),
             diffusion=DiffusionConfig(num_timesteps=100),
@@ -82,15 +82,26 @@ class TestBigExpertSharded:
                               num_experts=16, text_latent_dim=16,
                               num_random_features=8, text_max_tokens=8,
                               dropout=0.0, stochastic_depth_min=1.0,
-                              moe_compute="dense",  # EP-shardable form
+                              moe_compute=moe_compute,
+                              moe_capacity_factor=capacity_factor,
                               dtype="float32"),
             train=TrainConfig(batch_size=2 * dp, lr=1e-3, uncond_step=False),
         )
-        model = MotionTransformer(config=cfg.model)
+
+    @pytest.mark.slow
+    def test_16_experts_ep4_a2a_train_step_matches_dense(self):
+        ep = 4
+        dp = 8 // ep
+        # capacity ceil(S_loc * cf / E) with cf=E covers every token:
+        # no drops, so the a2a dispatch path must equal the dense path
+        cfg_a2a = self._cfg("dispatch", dp, capacity_factor=16.0)
+        cfg_dense = self._cfg("dense", dp, capacity_factor=16.0)
         sched = make_schedule(schedule_name="linear", num_timesteps=100)
-        state = create_train_state(model, cfg, jax.random.key(0))
-        raw = make_train_step(model, sched, cfg, jit=False)
         mesh = make_mesh(8, expert_parallel=ep)
+
+        model_a2a = MotionTransformer(config=cfg_a2a.model, mesh=mesh)
+        model_dense = MotionTransformer(config=cfg_dense.model)
+
         rng = np.random.default_rng(0)
         batch = {
             "motion": rng.standard_normal((2 * dp, 16, 26)).astype(np.float32),
@@ -99,15 +110,32 @@ class TestBigExpertSharded:
             "t": (np.arange(2 * dp) * 13 % 100).astype(np.int32),
             "t_weight": np.ones((2 * dp,), np.float32),
         }
-        with mesh:
-            step, sstate = make_sharded_train_step(raw, state, mesh)
-            # confirm expert weights actually sharded 4-ways
-            w1 = sstate.params["params"]["block_low_0"]["ffn"][
-                "branch_0_moe"]["w1"]
-            assert w1.sharding.spec[0] == "expert"
-            new_state, metrics = step(sstate, shard_batch(batch, mesh),
-                                      jax.random.key(1))
-            assert np.isfinite(float(metrics["loss_total"]))
+        results = {}
+        for name, model, cfg in (("a2a", model_a2a, cfg_a2a),
+                                 ("dense", model_dense, cfg_dense)):
+            # fresh identically-seeded state per path: the sharded step
+            # donates its input buffers, which can alias a reused host tree
+            state = create_train_state(model, cfg, jax.random.key(0))
+            raw = make_train_step(model, sched, cfg, jit=False)
+            with mesh:
+                step, sstate = make_sharded_train_step(raw, state, mesh)
+                # expert weights actually sharded 4-ways in both paths
+                w1 = sstate.params["params"]["block_low_0"]["ffn"][
+                    "branch_0_moe"]["w1"]
+                assert w1.sharding.spec[0] == "expert"
+                new_state, metrics = step(sstate, shard_batch(batch, mesh),
+                                          jax.random.key(1))
+            loss = float(metrics["loss_total"])
+            assert np.isfinite(loss)
+            new_w1 = np.asarray(new_state.params["params"]["block_low_0"][
+                "ffn"]["branch_0_moe"]["w1"])
+            results[name] = (loss, new_w1)
+
+        # same loss AND same updated expert weights: the all-to-all layout
+        # is a layout, not a semantic
+        assert abs(results["a2a"][0] - results["dense"][0]) < 1e-5, results
+        np.testing.assert_allclose(results["a2a"][1], results["dense"][1],
+                                   atol=1e-5)
 
     def test_moe_big_preset_shape(self):
         cfg = ExperimentConfig.moe_big()

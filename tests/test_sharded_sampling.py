@@ -22,9 +22,8 @@ from motiondiffusion_moe_tpu.parallel import make_mesh
 from motiondiffusion_moe_tpu.parallel.mesh import DATA_AXIS
 
 
-@pytest.fixture(scope="module")
-def setup():
-    cfg = ExperimentConfig(
+def _tiny_cfg(moe_compute: str = "dense") -> ExperimentConfig:
+    return ExperimentConfig(
         name="shard_sample",
         data=DataConfig(dim_pose=26, max_motion_length=16, num_joints=4),
         diffusion=DiffusionConfig(num_timesteps=100),
@@ -33,9 +32,14 @@ def setup():
                           num_experts=4, text_latent_dim=16,
                           num_random_features=8, text_max_tokens=8,
                           dropout=0.0, stochastic_depth_min=1.0,
-                          dtype="float32"),
+                          dtype="float32", moe_compute=moe_compute),
         train=TrainConfig(batch_size=8),
     )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _tiny_cfg()
     model = MotionTransformer(config=cfg.model)
     ids = jnp.ones((16, 8), jnp.int32)  # doubled batch 8 cond + 8 uncond
     x = jnp.zeros((16, 16, 26))
@@ -45,30 +49,31 @@ def setup():
                         text_ids=ids)
     sched = make_schedule(schedule_name="linear", num_timesteps=100)
 
-    def model_doubled(x2, t2):
+    def model_doubled_with(params, x2, t2):
         return model.apply(params, x2, t2, jnp.full((x2.shape[0],), 16),
                            text_ids=jnp.ones((x2.shape[0], 8), jnp.int32),
                            mutable=["moe_losses", "moe_metrics"])[0]
 
-    return sched, model_doubled
+    return cfg, model, sched, params, model_doubled_with
 
 
 @pytest.mark.slow
 def test_dp_sharded_sampling_matches_unsharded(setup):
-    sched, model_doubled = setup
+    _, _, sched, params, model_doubled_with = setup
     noise = jax.random.normal(jax.random.key(1), (8, 16, 26))
     rng = jax.random.key(2)
 
-    fn = lambda n, r: ddpm_sample_loop_cfg(sched, model_doubled, n, r,
-                                           guidance_scale=7.5)
-    ref = jax.jit(fn)(noise, rng)
+    fn = lambda p, n, r: ddpm_sample_loop_cfg(
+        sched, lambda x2, t2: model_doubled_with(p, x2, t2), n, r,
+        guidance_scale=7.5)
+    ref = jax.jit(fn)(params, noise, rng)
 
     mesh = make_mesh(8, expert_parallel=1)
     with mesh:
         batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
         noise_s = jax.device_put(noise, batch_sharding)
-        sharded = jax.jit(fn, in_shardings=(batch_sharding, None),
-                          out_shardings=batch_sharding)(noise_s, rng)
+        sharded = jax.jit(fn, in_shardings=(None, batch_sharding, None),
+                          out_shardings=batch_sharding)(params, noise_s, rng)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
                                atol=2e-4)
 
@@ -76,25 +81,69 @@ def test_dp_sharded_sampling_matches_unsharded(setup):
 @pytest.mark.slow
 def test_dp_ep_tp_sharded_sampling_matches_unsharded(setup):
     """The full 3-axis mesh (data=2, expert=2, model=2): batch sharded over
-    'data', expert weights over 'expert', FFN hidden dims over 'model' —
-    the sampling scan still reproduces the unsharded motions."""
+    'data', expert weights ACTUALLY placed over 'expert', FFN hidden dims
+    ACTUALLY placed over 'model' (device_put with param_shardings + explicit
+    in_shardings — not partitioner-chosen closure constants), and the
+    sampling scan still reproduces the unsharded motions."""
     from motiondiffusion_moe_tpu.parallel import param_shardings
+    from motiondiffusion_moe_tpu.parallel.mesh import EXPERT_AXIS, MODEL_AXIS
 
-    sched, model_doubled = setup
+    _, _, sched, params, model_doubled_with = setup
     noise = jax.random.normal(jax.random.key(1), (8, 16, 26))
     rng = jax.random.key(2)
 
-    fn = lambda n, r: ddpm_sample_loop_cfg(sched, model_doubled, n, r,
-                                           guidance_scale=7.5)
-    ref = jax.jit(fn)(noise, rng)
+    fn = lambda p, n, r: ddpm_sample_loop_cfg(
+        sched, lambda x2, t2: model_doubled_with(p, x2, t2), n, r,
+        guidance_scale=7.5)
+    ref = jax.jit(fn)(params, noise, rng)
 
     mesh = make_mesh(8, expert_parallel=2, tensor_parallel=2)
+    shardings = param_shardings(params, mesh)
+    # the rules must actually engage both axes for this test to mean
+    # anything: at least one leaf sharded over 'expert' AND one over 'model'
+    def axes_of(spec):
+        for ax in spec:
+            if isinstance(ax, tuple):
+                yield from ax
+            elif ax is not None:
+                yield ax
+
+    specs = [s.spec for s in jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: isinstance(x, NamedSharding))]
+    assert any(EXPERT_AXIS in axes_of(s) for s in specs)
+    assert any(MODEL_AXIS in axes_of(s) for s in specs)
+
     with mesh:
+        params_s = jax.device_put(params, shardings)
         batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
         noise_s = jax.device_put(noise, batch_sharding)
-        # params are closed over by model_doubled; the partitioner
-        # propagates shardings from the batch + the closure constants
-        sharded = jax.jit(fn, in_shardings=(batch_sharding, None),
-                          out_shardings=batch_sharding)(noise_s, rng)
+        sharded = jax.jit(
+            fn, in_shardings=(shardings, batch_sharding, None),
+            out_shardings=batch_sharding)(params_s, noise_s, rng)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
                                atol=2e-4)
+
+
+@pytest.mark.slow
+def test_mesh_pipeline_matches_single_device(setup):
+    """GenerationPipeline with a 3-axis mesh (the v5e-8 serving path) must
+    produce the same motions as the single-device pipeline."""
+    from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
+
+    cfg, model, _, params, _ = setup
+
+    pipe_ref = GenerationPipeline(cfg, model, params, sampler="ddim",
+                                  num_inference_steps=10, micro_batch=8)
+    caps = ["a person walks"] * 8
+    lens = [16] * 8
+    ref = pipe_ref.generate(caps, lens, rng=jax.random.key(5))
+
+    mesh = make_mesh(8, expert_parallel=2, tensor_parallel=2)
+    pipe_mesh = GenerationPipeline(cfg, model, params, sampler="ddim",
+                                   num_inference_steps=10, micro_batch=8,
+                                   mesh=mesh)
+    out = pipe_mesh.generate(caps, lens, rng=jax.random.key(5))
+
+    assert len(out) == len(ref)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

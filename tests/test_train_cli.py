@@ -75,6 +75,26 @@ class TestTrainerMesh:
         with pytest.raises(ValueError, match="not divisible"):
             Trainer._maybe_make_mesh(cfg)
 
+    def test_tp_only_switches_off_dense_fused(self):
+        """dense_fused merges the model-axis-sharded hidden dim into one
+        matmul; with TP>1 (and EP=1) the Trainer must fall back to the
+        shardable per-expert einsum form, not silently all-gather the
+        expert FFN weights every step."""
+        cfg = self._cfg(num_model_partitions=2)
+        assert cfg.model.moe_compute == "dense_fused"
+        tr = Trainer(cfg)
+        assert tr.mesh is not None
+        assert dict(tr.mesh.shape) == {"data": 4, "expert": 1, "model": 2}
+        assert tr.cfg.model.moe_compute == "dense"
+
+    def test_caller_supplied_dense_fused_model_on_mesh_raises(self):
+        from motiondiffusion_moe_tpu.models import MotionTransformer
+
+        cfg = self._cfg(num_expert_partitions=2)
+        model = MotionTransformer(config=cfg.model)  # dense_fused
+        with pytest.raises(ValueError, match="dense_fused"):
+            Trainer(cfg, model=model)
+
 
 @pytest.mark.slow
 class TestTrainCLISharded:
