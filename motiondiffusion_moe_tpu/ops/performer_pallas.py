@@ -562,13 +562,30 @@ def _favor_qkv_fwd(qkv, ln_scale, ln_bias, projection, mask, eps, pre_scale):
     return out, (qkv, ln_scale, ln_bias, projection, mask)
 
 
-def _favor_qkv_bwd(eps, pre_scale, residuals, g):
-    qkv, ln_scale, ln_bias, projection, mask = residuals
+def _favor_qkv_bwd_reference(qkv, ln_scale, ln_bias, projection, mask, g,
+                             eps, pre_scale):
     _, vjp = jax.vjp(
         lambda x_, s_, b_, p_: favor_qkv_reference(
             x_, s_, b_, p_, mask, eps, pre_scale),
         qkv, ln_scale, ln_bias, projection)
-    dx, ds, db, dp = vjp(g)
+    return vjp(g)
+
+
+def _favor_qkv_bwd(eps, pre_scale, residuals, g):
+    """Backward: hand-derived Pallas kernel on TPU (the train hot path —
+    recomputing the unfused reference here put training at 14% MFU, see
+    ops/performer_pallas_bwd.py), vjp-of-reference elsewhere."""
+    from motiondiffusion_moe_tpu.ops.performer_pallas_bwd import (
+        favor_qkv_bwd_pallas)
+
+    qkv, ln_scale, ln_bias, projection, mask = residuals
+    dx, ds, db, dp = jax.lax.platform_dependent(
+        qkv, ln_scale, ln_bias, projection, mask, g,
+        tpu=lambda x_, s_, b_, p_, m_, g_: favor_qkv_bwd_pallas(
+            x_, s_, b_, p_, m_, g_, eps, pre_scale),
+        default=lambda x_, s_, b_, p_, m_, g_: _favor_qkv_bwd_reference(
+            x_, s_, b_, p_, m_, g_, eps, pre_scale),
+    )
     dmask = None if mask is None else jnp.zeros_like(mask)
     return dx, ds, db, dp, dmask
 
@@ -686,9 +703,24 @@ def _epilogue_fwd(*args):
     return performer_epilogue(*args), args
 
 
-def _epilogue_bwd(residuals, g):
-    _, vjp = jax.vjp(performer_epilogue_reference, *residuals)
+def _epilogue_bwd_reference(*args_and_g):
+    *args, g = args_and_g
+    _, vjp = jax.vjp(performer_epilogue_reference, *args)
     return vjp(g)
+
+
+def _epilogue_bwd(residuals, g):
+    """Backward: hand-derived Pallas kernel on TPU (one VMEM pass instead
+    of ~6 HBM-roofline normalization-chain fusions), vjp-of-reference
+    elsewhere."""
+    from motiondiffusion_moe_tpu.ops.performer_pallas_bwd import (
+        epilogue_bwd_pallas)
+
+    return jax.lax.platform_dependent(
+        *residuals, g,
+        tpu=epilogue_bwd_pallas,
+        default=_epilogue_bwd_reference,
+    )
 
 
 performer_epilogue.defvjp(_epilogue_fwd, _epilogue_bwd)
