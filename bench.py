@@ -78,16 +78,19 @@ def _run():
     if layers != cfg.model.num_layers:
         from dataclasses import replace
         cfg = replace(cfg, model=replace(cfg.model, num_layers=layers))
+    run_sampler = os.environ.get("BENCH_SAMPLER", "1") != "0"
 
     model = MotionTransformer(config=cfg.model)
 
-    # Benchmark params: zeros in the real param tree shapes, created
-    # directly on the chip. TPU timing is value-independent, and real init
-    # of the 363M flagship costs minutes (XLA:CPU compile of the init
-    # program / eager init on the 1-core host) every time a model change
-    # invalidates the compilation cache — which would blow the driver's
-    # bench budget.
+    # Benchmark params: HEALTHY-SHAPED randoms in the real param tree,
+    # created in one jitted program on the chip (real flax init of the
+    # 363M flagship costs minutes on the 1-core host). All-zeros params —
+    # the old trick — are numerically degenerate for TRAINING: the
+    # L2-stabilization backward amplifies zero-norm rows by 1e12 and the
+    # first update is NaN (see utils/bench_init.py).
     from motiondiffusion_moe_tpu.models.text_encoder import hash_tokenize
+    from motiondiffusion_moe_tpu.utils.bench_init import (
+        random_benchmark_params)
     B, T, D = batch, cfg.model.max_frames, cfg.model.input_feats
     x = jnp.zeros((1, T, D))
     ids0 = jnp.asarray(hash_tokenize(["warmup"], cfg.model.text_max_tokens))
@@ -95,45 +98,53 @@ def _run():
         lambda k: model.init({"params": k}, x, jnp.zeros((1,), jnp.int32),
                              jnp.full((1,), T, jnp.int32), text_ids=ids0),
         jax.random.key(0))
-    _log("creating zero params on device...")
-    params = jax.jit(lambda: jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+    _log("creating benchmark params on device...")
+    params = random_benchmark_params(shapes)
     jax.block_until_ready(params)
     _log("params ready")
 
-    pipe = GenerationPipeline(cfg, model, params, sampler="ddim",
-                              num_inference_steps=steps, micro_batch=B)
-    captions = ["a person walks forward and turns around"] * B
-    lens = [T] * B
+    if run_sampler:
+        pipe = GenerationPipeline(cfg, model, params, sampler="ddim",
+                                  num_inference_steps=steps, micro_batch=B)
+        captions = ["a person walks forward and turns around"] * B
+        lens = [T] * B
 
-    # warmup/compile
-    _log("compiling sampler...")
-    t0 = time.time()
-    warm = pipe.generate(captions, lens, rng=jax.random.key(0))
-    compile_s = time.time() - t0
-    # a NaN-producing kernel regression must not hide behind a good
-    # throughput number: the sampled motions have to be finite
-    import numpy as np
-    assert all(np.isfinite(m).all() for m in warm), \
-        "benchmark sampler produced non-finite motions"
-    _log(f"sampler compiled in {compile_s:.1f}s; timing...")
+        # warmup/compile
+        _log("compiling sampler...")
+        t0 = time.time()
+        warm = pipe.generate(captions, lens, rng=jax.random.key(0))
+        compile_s = time.time() - t0
+        # a NaN-producing kernel regression must not hide behind a good
+        # throughput number: the sampled motions have to be finite
+        import numpy as np
+        assert all(np.isfinite(m).all() for m in warm), \
+            "benchmark sampler produced non-finite motions"
+        _log(f"sampler compiled in {compile_s:.1f}s; timing...")
 
-    # one generate over reps*B prompts: micro-batches are dispatched
-    # asynchronously, so chunk i+1's compute overlaps chunk i's fetch
-    # (the pipeline's serving behavior)
-    t0 = time.time()
-    pipe.generate(captions * reps, lens * reps, rng=jax.random.key(1))
-    elapsed = time.time() - t0
+        # one generate over reps*B prompts: micro-batches are dispatched
+        # asynchronously, so chunk i+1's compute overlaps chunk i's fetch
+        # (the pipeline's serving behavior)
+        t0 = time.time()
+        pipe.generate(captions * reps, lens * reps, rng=jax.random.key(1))
+        elapsed = time.time() - t0
 
-    motions_per_sec = (B * reps) / elapsed
-    result = {
-        "metric": "motions/sec/chip (196 frames, 50-step DDIM CFG, flagship MoE)",
-        "value": round(motions_per_sec, 4),
-        "unit": "motions/s/chip",
-        "vs_baseline": round(motions_per_sec / BASELINE_MOTIONS_PER_SEC, 4),
-    }
-    diag = (f"# compile={compile_s:.1f}s run={elapsed:.2f}s batch={B} "
-            f"steps={steps} layers={layers} backend={jax.default_backend()}")
+        motions_per_sec = (B * reps) / elapsed
+        result = {
+            "metric": "motions/sec/chip (196 frames, 50-step DDIM CFG, flagship MoE)",
+            "value": round(motions_per_sec, 4),
+            "unit": "motions/s/chip",
+            "vs_baseline": round(motions_per_sec / BASELINE_MOTIONS_PER_SEC,
+                                 4),
+        }
+        diag = (f"# compile={compile_s:.1f}s run={elapsed:.2f}s batch={B} "
+                f"steps={steps} layers={layers} "
+                f"backend={jax.default_backend()}")
+    else:
+        # train-diag-only mode (BENCH_SAMPLER=0) for perf iteration —
+        # never what the driver runs
+        result = {"metric": "train-only run", "value": 0.0, "unit": "-",
+                  "vs_baseline": 0.0}
+        diag = "# sampler skipped (BENCH_SAMPLER=0)"
 
     train_diag_fn = None
     if os.environ.get("BENCH_TRAIN", "1") != "0":
@@ -173,43 +184,98 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
         "t": jnp.linspace(0, 999, B).astype(jnp.int32),
         "t_weight": jnp.ones((B,), jnp.float32),
     }
-    rng = jax.random.key(0)
+    # the Trainer's training-stream default: TPU-native RngBitGenerator
+    # (cfg.train.rng_impl — threefry dropout masks cost ~77 ms/step here)
+    rng = jax.random.key(0, impl=cfg.train.rng_impl)
 
-    # ONE lower+compile serves both the FLOP estimate (cost_analysis) and
-    # the timed steps — a second independent compile of the flagship
-    # forward+backward costs minutes through the remote-compile tunnel.
-    _log("compiling train step...")
-    t0 = time.time()
-    compiled = jax.jit(make_train_step(model, sched, cfg, jit=False),
-                       donate_argnums=(0,)).lower(state, batch, rng).compile()
-    compile_s = time.time() - t0
-    _log(f"train step compiled in {compile_s:.1f}s; timing...")
-    flops = None
-    try:
-        cost = compiled.cost_analysis()
-        if cost:
-            flops = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
-    step_fn = compiled
-
-    state, _ = step_fn(state, batch, rng)
-    jax.block_until_ready(state.step)
+    # The scanned K-step program (training.make_multi_train_step) is the
+    # DEFAULT train benchmark: it is the production inner loop, and it
+    # amortizes both the per-call host/control-plane cost and the remote
+    # tunnel's large one-time program-load cost over K steps. FLOPs come
+    # from XLA's cost analysis of the same program (/K per step).
+    # Sync discipline: fetch a VALUE, never block_until_ready — through
+    # the remote-chip tunnel block_until_ready can return before the
+    # program actually executes.
+    import math
 
     reps = int(os.environ.get("BENCH_TRAIN_REPS", "5"))
-    t0 = time.time()
-    for _ in range(reps):
-        state, metrics = step_fn(state, batch, rng)
-    jax.block_until_ready(state.step)
-    step_s = (time.time() - t0) / reps
+    out_lines = []
 
-    frames_per_s = B * T / step_s
-    out = (f"# train: step={step_s*1000:.1f}ms batch={B} "
-           f"frames/s={frames_per_s:.0f} compile={compile_s:.1f}s")
+    if os.environ.get("BENCH_TRAIN_PERCALL", "0") == "1":
+        # optional: the step-per-dispatch cadence (the reference's Python
+        # loop shape). Pays a multi-minute first-execution program load on
+        # the tunnel, so off by default.
+        _log("compiling train step...")
+        t0 = time.time()
+        compiled = jax.jit(make_train_step(model, sched, cfg, jit=False),
+                           donate_argnums=(0,)).lower(state, batch,
+                                                      rng).compile()
+        compile_s = time.time() - t0
+        _log(f"train step compiled in {compile_s:.1f}s; timing...")
+        flops1 = None
+        try:
+            cost = compiled.cost_analysis()
+            if cost:
+                flops1 = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        state, metrics = compiled(state, batch, rng)
+        warm_loss = float(metrics["loss_total"])
+        t0 = time.time()
+        for _ in range(reps):
+            state, metrics = compiled(state, batch, rng)
+        last_loss = float(metrics["loss_total"])
+        step_s = (time.time() - t0) / reps
+        assert math.isfinite(last_loss), (
+            f"train bench diverged: loss={last_loss} (warmup {warm_loss})")
+        line = (f"# train: step={step_s*1000:.1f}ms batch={B} "
+                f"frames/s={B*T/step_s:.0f} loss={warm_loss:.3f}->"
+                f"{last_loss:.3f} compile={compile_s:.1f}s")
+        if flops1:
+            line += (f" flops/step={flops1/1e9:.1f}G "
+                     f"mfu={flops1/step_s/197e12*100:.1f}%")
+        out_lines.append(line)
+
+    K = int(os.environ.get("BENCH_TRAIN_SCAN", "8"))
+    from motiondiffusion_moe_tpu.training.train_state import (
+        make_multi_train_step)
+
+    _log(f"compiling {K}-step scanned train program...")
+    multi = make_multi_train_step(model, sched, cfg, jit=False)
+    batches = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), batch)
+    t0 = time.time()
+    compiled_m = jax.jit(multi, donate_argnums=(0,)).lower(
+        state, batches, rng).compile()
+    mcompile_s = time.time() - t0
+    flops = None
+    try:
+        cost = compiled_m.cost_analysis()
+        if cost:
+            flops = (float(cost.get("flops", 0.0)) or None)
+            if flops:
+                flops /= K
+    except Exception:
+        pass
+    _log(f"scanned program compiled in {mcompile_s:.1f}s; timing...")
+    state, ms = compiled_m(state, batches, rng)
+    warm = float(ms["loss_total"][0])
+    mreps = max(1, reps // 2)
+    t0 = time.time()
+    for _ in range(mreps):
+        state, ms = compiled_m(state, batches, rng)
+    mlast = float(ms["loss_total"][-1])
+    mstep_s = (time.time() - t0) / mreps / K
+    assert math.isfinite(mlast), (
+        f"scanned train bench diverged: loss={mlast} (first {warm})")
+    line = (f"# train-scan{K}: step={mstep_s*1000:.1f}ms batch={B} "
+            f"frames/s={B*T/mstep_s:.0f} loss={warm:.3f}->{mlast:.3f} "
+            f"compile={mcompile_s:.1f}s")
     if flops:
-        # v5e bf16 peak ~197 TFLOP/s
-        mfu = flops / step_s / 197e12
-        out += f" flops/step={flops/1e9:.1f}G mfu={mfu*100:.1f}%"
+        line += (f" flops/step={flops/1e9:.1f}G "
+                 f"mfu={flops/mstep_s/197e12*100:.1f}%")
+    out_lines.append(line)
+    out = "\n".join(out_lines)
     return out
 
 

@@ -123,9 +123,14 @@ class DataLoader:
         _END = object()
 
         def producer():
-            for b in self._batches():
-                q.put(b)
-            q.put(_END)
+            # exceptions MUST propagate to the consumer: a dead worker with
+            # a silent queue deadlocks the train loop forever
+            try:
+                for b in self._batches():
+                    q.put(b)
+                q.put(_END)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -133,4 +138,6 @@ class DataLoader:
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

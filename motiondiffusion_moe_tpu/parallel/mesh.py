@@ -111,9 +111,11 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch dict with the leading dim sharded over 'data'."""
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+def shard_batch(batch: Any, mesh: Mesh, leading_dims: int = 0) -> Any:
+    """Place a host batch dict with the batch dim sharded over 'data'
+    (``leading_dims`` unsharded axes before it, e.g. the K axis of a
+    stacked multi-step batch)."""
+    sharding = NamedSharding(mesh, P(*([None] * leading_dims), DATA_AXIS))
 
     def put(leaf):
         return jax.device_put(leaf, sharding)
@@ -122,7 +124,9 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 
 def make_sharded_train_step(train_step: Callable, state: Any,
-                            mesh: Mesh) -> Tuple[Callable, Any]:
+                            mesh: Mesh,
+                            batch_leading_dims: int = 0
+                            ) -> Tuple[Callable, Any]:
     """Wrap a (state, batch, rng) train step with mesh shardings.
 
     Returns (sharded_step, sharded_state): state placed per the param rules,
@@ -130,6 +134,10 @@ def make_sharded_train_step(train_step: Callable, state: Any,
     Gradient psum over 'data', MoE all-to-all over 'expert', and the
     row-parallel closing psum over 'model' are inserted by the XLA SPMD
     partitioner.
+
+    ``batch_leading_dims``: number of unsharded axes BEFORE the batch axis
+    in every batch leaf — 1 for the stacked [K, B, ...] batches of
+    :func:`training.make_multi_train_step`.
     """
     replicated = NamedSharding(mesh, P())
     ep = mesh.shape.get(EXPERT_AXIS, 1)
@@ -144,7 +152,8 @@ def make_sharded_train_step(train_step: Callable, state: Any,
         rule, state, is_leaf=lambda x: isinstance(x, jax.Array))
 
     sharded_state = jax.device_put(state, state_shardings)
-    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    batch_sharding = NamedSharding(
+        mesh, P(*([None] * batch_leading_dims), DATA_AXIS))
 
     step = jax.jit(
         train_step,

@@ -39,14 +39,16 @@ def capture(batch: int, steps: int, mode: str, log_dir: str) -> None:
     B, T, D = batch, cfg.model.max_frames, cfg.model.input_feats
     x = jnp.zeros((1, T, D))
     ids0 = jnp.asarray(hash_tokenize(["warmup"], cfg.model.text_max_tokens))
-    # zero params straight on device (timing is value-independent; real
-    # init costs minutes whenever the compile cache is cold — see bench.py)
+    # healthy-shaped random params straight on device (real init costs
+    # minutes; zeros are numerically degenerate for training backward —
+    # see utils/bench_init.py)
+    from motiondiffusion_moe_tpu.utils.bench_init import (
+        random_benchmark_params)
     shapes = jax.eval_shape(
         lambda key: model.init({"params": key}, x, jnp.zeros((1,), jnp.int32),
                                jnp.full((1,), T, jnp.int32), text_ids=ids0),
         jax.random.key(0))
-    params = jax.jit(lambda: jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+    params = random_benchmark_params(shapes)
 
     if mode == "sample":
         from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
@@ -70,7 +72,7 @@ def capture(batch: int, steps: int, mode: str, log_dir: str) -> None:
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=tx.init(params), tx=tx)
         step_fn = make_train_step(model, sched, cfg)
-        rng = jax.random.key(1)
+        rng = jax.random.key(1, impl=cfg.train.rng_impl)
         batch_data = {
             "motion": jnp.zeros((B, T, D), jnp.float32),
             "length": jnp.full((B,), T, jnp.int32),
@@ -79,11 +81,11 @@ def capture(batch: int, steps: int, mode: str, log_dir: str) -> None:
             "t": jnp.zeros((B,), jnp.int32),
             "t_weight": jnp.ones((B,), jnp.float32),
         }
-        state, _ = step_fn(state, batch_data, rng)   # compile
-        jax.block_until_ready(state.params)
+        state, m = step_fn(state, batch_data, rng)   # compile
+        float(m["loss_total"])  # value fetch: the tunnel's true barrier
         with jax.profiler.trace(log_dir):
-            state, _ = step_fn(state, batch_data, rng)
-            jax.block_until_ready(state.params)
+            state, m = step_fn(state, batch_data, rng)
+            float(m["loss_total"])
 
 
 def analyze(log_dir: str, top: int) -> None:

@@ -54,6 +54,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_latest", type=int, default=500)
     p.add_argument("--save_every_e", type=int, default=5)
     p.add_argument("--no_uncond_step", action="store_true")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps per compiled call (lax.scan inner "
+                        "loop; amortizes per-dispatch host cost)")
     p.add_argument("--caption_dropout", type=float, default=0.0)
     p.add_argument("--w_velocity", type=float, default=0.0)
     p.add_argument("--w_acceleration", type=float, default=0.0)
@@ -111,6 +114,7 @@ def config_from_args(args: argparse.Namespace):
         train=TrainConfig(batch_size=args.batch_size,
                           num_epochs=args.num_epochs, lr=args.lr,
                           seed=args.seed,
+                          steps_per_call=args.steps_per_call,
                           uncond_step=not args.no_uncond_step,
                           caption_dropout=args.caption_dropout,
                           log_every=args.log_every,

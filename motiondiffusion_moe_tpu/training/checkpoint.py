@@ -37,14 +37,24 @@ class CheckpointManager:
     def save(self, step: int, state: Any, epoch: int,
              rng: Optional[Any] = None,
              extra: Optional[Dict[str, Any]] = None) -> None:
+        # rng key data so resume continues the exact random stream. Key
+        # width is impl-dependent (threefry (2,), rbg (4,)); store a fixed
+        # 4-word buffer + the true width so the restore template is
+        # shape-stable across TrainConfig.rng_impl choices.
+        rng_data = np.zeros((4,), np.uint32)
+        rng_width = 0
+        if rng is not None:
+            data = np.asarray(jax.random.key_data(rng)).ravel()
+            rng_width = data.shape[0]
+            assert rng_width in (2, 4), f"unknown key width {rng_width}"
+            rng_data[:rng_width] = data
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
             "epoch": np.asarray(epoch),
-            # rng key data so resume continues the exact random stream
-            "rng": (np.asarray(jax.random.key_data(rng)) if rng is not None
-                    else np.zeros((2,), np.uint32)),
+            "rng": rng_data,
+            "rng_width": np.asarray(rng_width),
             "has_rng": np.asarray(rng is not None),
         }
         if extra:
@@ -77,7 +87,8 @@ class CheckpointManager:
             "opt_state": state_template.opt_state,
             "step": np.asarray(state_template.step),
             "epoch": np.asarray(0),
-            "rng": np.zeros((2,), np.uint32),
+            "rng": np.zeros((4,), np.uint32),
+            "rng_width": np.asarray(0),
             "has_rng": np.asarray(False),
         }
         restored = self._mngr.restore(
@@ -88,8 +99,12 @@ class CheckpointManager:
             step=jax.numpy.asarray(restored["step"]))
         rng = None
         if bool(restored.get("has_rng", False)):
+            data = np.asarray(restored["rng"]).ravel()
+            width = int(restored.get("rng_width", 0)) or data.shape[0]
+            # impl follows the stored key width (threefry=2 words, rbg=4)
+            impl = "threefry2x32" if width == 2 else "rbg"
             rng = jax.random.wrap_key_data(
-                jax.numpy.asarray(restored["rng"]))
+                jax.numpy.asarray(data[:width]), impl=impl)
         return state, int(restored["epoch"]), rng
 
     def close(self) -> None:

@@ -196,3 +196,41 @@ def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
         # (parallel.make_sharded_train_step)
         return train_step
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_multi_train_step(model: MotionTransformer, sched: DiffusionSchedule,
+                          cfg: ExperimentConfig,
+                          normalizer_stats=None, jit: bool = True,
+                          ) -> Callable:
+    """K train steps as ONE compiled program (``lax.scan`` over stacked
+    batches) — the production inner loop.
+
+    Each host->device dispatch pays a fixed control-plane cost (tens of ms
+    through a remote-chip tunnel, ~10 us locally but still per-step host
+    work); scanning K steps device-side amortizes it to 1/K and lets the
+    device run back-to-back steps with no host round-trip. The reference
+    steps its Python loop once per optimizer update
+    (``trainers/ddpm_trainer.py:313-352``).
+
+    Signature: ``(state, batches, rng) -> (state, metrics)`` where every
+    leaf of ``batches`` carries a leading ``[K, ...]`` axis (K static) and
+    ``metrics`` are stacked ``[K]`` per-step. RNG is split per step from
+    the single key.
+    """
+    step = make_train_step(model, sched, cfg,
+                           normalizer_stats=normalizer_stats, jit=False)
+
+    def multi_step(state: TrainState, batches: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        def body(carry, batch):
+            state, rng = carry
+            rng, k = jax.random.split(rng)
+            state, metrics = step(state, batch, k)
+            return (state, rng), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
+        return state, metrics
+
+    if not jit:
+        return multi_step
+    return jax.jit(multi_step, donate_argnums=(0,))

@@ -82,6 +82,16 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.sched, cfg,
                                           normalizer_stats=normalizer_stats,
                                           jit=self.mesh is None)
+        if cfg.train.steps_per_call > 1:
+            # K steps per compiled call (lax.scan): amortizes the fixed
+            # per-dispatch host cost — see make_multi_train_step
+            from motiondiffusion_moe_tpu.training.train_state import (
+                make_multi_train_step)
+            self.multi_step = make_multi_train_step(
+                self.model, self.sched, cfg,
+                normalizer_stats=normalizer_stats, jit=self.mesh is None)
+        else:
+            self.multi_step = None
         self.logger = logger or MetricsLogger(cfg.train.log_every)
         self._np_rng = np.random.default_rng(cfg.train.seed)
 
@@ -118,7 +128,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
-        rng = rng if rng is not None else jax.random.key(self.cfg.train.seed)
+        rng = rng if rng is not None else jax.random.key(
+            self.cfg.train.seed, impl=self.cfg.train.rng_impl)
         state = create_train_state(self.model, self.cfg, rng)
         if self.cfg.model.text_encoder.startswith("deberta"):
             # graft pretrained DeBERTa weights (or warn-and-random-init) —
@@ -156,7 +167,10 @@ class Trainer:
             checkpoints: Optional[CheckpointManager] = None,
             start_epoch: int = 0) -> TrainState:
         cfg = self.cfg
-        rng = rng if rng is not None else jax.random.key(cfg.train.seed + 1)
+        # rng_impl="rbg": TPU-native RngBitGenerator for the training
+        # stream (dropout masks dominate otherwise — see TrainConfig)
+        rng = rng if rng is not None else jax.random.key(
+            cfg.train.seed + 1, impl=cfg.train.rng_impl)
 
         if checkpoints is not None:
             restored = checkpoints.restore_with_rng(state)
@@ -173,21 +187,89 @@ class Trainer:
             # jits the step with explicit in/out shardings.
             step_fn, state = make_sharded_train_step(
                 self.train_step, state, self.mesh)
+            if self.multi_step is not None:
+                multi_fn, state = make_sharded_train_step(
+                    self.multi_step, state, self.mesh, batch_leading_dims=1)
+            else:
+                multi_fn = None
             print(f"[trainer] mesh {dict(self.mesh.shape)} "
                   f"({self.mesh.devices.size} devices)")
         else:
             step_fn = self.train_step
+            multi_fn = self.multi_step
 
+        K = max(1, cfg.train.steps_per_call)
         it = int(state.step)
         start_time = time.time()
+
+        def maybe_save(prev_it, epoch):
+            if checkpoints is None:
+                return
+            every = cfg.train.save_latest_every
+            if it // every > prev_it // every:
+                checkpoints.save(it, state, epoch, rng=rng)
+
+        pending = []  # sub-step batches awaiting the K-step scanned call
+
+        def run_pending(epoch, force=False):
+            """Run buffered sub-steps: full chunks of K through the scanned
+            program; on force (epoch end), the remainder one-by-one through
+            the single-step program (identical semantics)."""
+            nonlocal state, rng, it
+            while len(pending) >= K:
+                chunk = [pending.pop(0) for _ in range(K)]
+                rng, key = jax.random.split(rng)
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *chunk)
+                if self.mesh is not None:
+                    stacked = shard_batch(stacked, self.mesh,
+                                          leading_dims=1)
+                prev = it
+                state, ms = multi_fn(state, stacked, key)
+                it = int(state.step)
+                for i, sub_batch in enumerate(chunk):
+                    sub = {k: v[i] for k, v in ms.items()}
+                    self._update_sampler(sub_batch, sub)
+                    logs = OrderedDict(
+                        (k, float(v)) for k, v in sub.items()
+                        if np.ndim(v) == 0)
+                    self.logger.log(prev + i + 1, epoch, logs, start_time)
+                maybe_save(prev, epoch)
+            if force:
+                while pending:
+                    sub_batch = pending.pop(0)
+                    rng, key = jax.random.split(rng)
+                    b = (shard_batch(sub_batch, self.mesh)
+                         if self.mesh is not None else sub_batch)
+                    prev = it
+                    state, metrics = step_fn(state, b, key)
+                    it = int(state.step)
+                    self._update_sampler(sub_batch, metrics)
+                    logs = OrderedDict(
+                        (k, float(v)) for k, v in metrics.items()
+                        if np.ndim(v) == 0)
+                    self.logger.log(it, epoch, logs, start_time)
+                    maybe_save(prev, epoch)
+
         for epoch in range(start_epoch, cfg.train.num_epochs):
             if hasattr(loader, "set_epoch"):
                 loader.set_epoch(epoch)
             for captions, motions, lengths in loader:
-                rng, k1, k2 = jax.random.split(rng, 3)
                 batch = self._make_batch(captions, motions, lengths)
+                if K > 1:
+                    pending.append(batch)
+                    if cfg.train.uncond_step:
+                        # the (cond, uncond) double step keeps its order in
+                        # the scanned stream (ddpm_trainer.py:319-333)
+                        pending.append(self._make_batch(
+                            [""] * len(captions), motions, lengths))
+                    run_pending(epoch)
+                    continue
+
+                rng, k1, k2 = jax.random.split(rng, 3)
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
+                prev = it
                 state, metrics = step_fn(state, batch, k1)
                 self._update_sampler(batch, metrics)
                 logs = OrderedDict(
@@ -209,10 +291,9 @@ class Trainer:
 
                 it = int(state.step)
                 self.logger.log(it, epoch, logs, start_time)
+                maybe_save(prev, epoch)
 
-                if checkpoints is not None and it % cfg.train.save_latest_every == 0:
-                    checkpoints.save(it, state, epoch, rng=rng)
-
+            run_pending(epoch, force=True)
             if checkpoints is not None:
                 checkpoints.save(it, state, epoch, rng=rng)
         if checkpoints is not None:
