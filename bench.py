@@ -192,7 +192,9 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
     # DEFAULT train benchmark: it is the production inner loop, and it
     # amortizes both the per-call host/control-plane cost and the remote
     # tunnel's large one-time program-load cost over K steps. FLOPs come
-    # from XLA's cost analysis of the same program (/K per step).
+    # from XLA's cost analysis of the same program; XLA counts a
+    # lax.scan body ONCE regardless of trip count (verified on CPU:
+    # flops(K=1) == flops(K=8)), so the body count IS the per-step count.
     # Sync discipline: fetch a VALUE, never block_until_ready — through
     # the remote-chip tunnel block_until_ready can return before the
     # program actually executes.
@@ -252,9 +254,8 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
     try:
         cost = compiled_m.cost_analysis()
         if cost:
+            # NO /K: cost_analysis counts the scan body once (per-step)
             flops = (float(cost.get("flops", 0.0)) or None)
-            if flops:
-                flops /= K
     except Exception:
         pass
     _log(f"scanned program compiled in {mcompile_s:.1f}s; timing...")
