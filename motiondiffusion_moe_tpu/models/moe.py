@@ -139,12 +139,32 @@ class SwitchMoELayer(nn.Module):
                 # into a matmul defeats XLA-SPMD expert partitioning.
                 hid = self.hidden_dim
                 w1m = jnp.transpose(w1, (1, 0, 2)).reshape(D, E * hid)
-                h = (x_flat.astype(self.dtype) @ w1m).reshape(S, E, hid) \
-                    + b1[None, :, :]
-                h = nn.gelu(h)
-                h = h * combine_se[:, :, None]
-                out = h.reshape(S, E * hid) @ w2.reshape(E * hid, D) \
-                    + combine_se @ b2
+                import os as _os
+                if (deterministic and hid % 128 == 0 and D % 128 == 0
+                        and _os.environ.get("MOE_FUSED_KERNEL", "0") != "0"):
+                    # Fused Pallas kernel for this chain (ops/moe_pallas.py).
+                    # NEGATIVE RESULT, off by default: standalone it beats
+                    # the XLA chain (169 vs 209 us/branch at the flagship
+                    # shape) but END-TO-END the sampler is unchanged
+                    # (19.44 vs 19.73 motions/s, within tunnel noise): the
+                    # pallas_call fusion barrier re-materializes the branch
+                    # LN output and un-fuses the downstream combine/LN
+                    # chain, costing exactly the kernel's win. See
+                    # BENCH_NOTES.md round-3 notes. Training always keeps
+                    # the XLA path (autodiff backward beats reference-vjp).
+                    from motiondiffusion_moe_tpu.ops.moe_pallas import (
+                        moe_dense_fused)
+
+                    out = moe_dense_fused(
+                        x_flat.astype(self.dtype), combine_se, w1m,
+                        b1.reshape(1, E * hid), w2.reshape(E * hid, D), b2)
+                else:
+                    h = (x_flat.astype(self.dtype) @ w1m).reshape(
+                        S, E, hid) + b1[None, :, :]
+                    h = nn.gelu(h)
+                    h = h * combine_se[:, :, None]
+                    out = h.reshape(S, E * hid) @ w2.reshape(E * hid, D) \
+                        + combine_se @ b2
             else:
                 # per-expert einsums keep E a contractable named dim that
                 # the SPMD partitioner shards over the 'expert' mesh axis
