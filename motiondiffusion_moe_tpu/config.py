@@ -108,6 +108,17 @@ class ModelConfig:
     text_max_tokens: int = 77          # tokenizer max_length (text_encoder.py:25-28)
     time_embed_mult: int = 4           # time_embed_dim = latent_dim * 4 (transformer.py:203)
     dtype: str = "bfloat16"            # compute dtype; params stay float32
+    # Rematerialization policy for the decoder blocks (training-time
+    # HBM-traffic / FLOPs trade; no effect on sampling math):
+    #   ""            - store all intermediates (XLA default)
+    #   "dots"        - jax.checkpoint with dots_saveable: keep matmul
+    #                   outputs, recompute elementwise/LN chains in the
+    #                   backward
+    #   "dots_named"  - dots_saveable + saved Pallas attention outputs
+    #                   (avoids re-running the favor forward kernels in
+    #                   the backward pass)
+    #   "all"         - full recompute (minimum memory)
+    remat_blocks: str = ""
 
 
 @dataclass(frozen=True)
@@ -152,6 +163,9 @@ class TrainConfig:
     # a threefry chain). "threefry" restores jax's default
     # partition-invariant streams (bit-identical across mesh layouts).
     rng_impl: str = "rbg"
+    # Adam first-moment dtype ("float32" | "bfloat16"): bf16 halves the
+    # mu read+write HBM traffic in the (bandwidth-bound) optimizer update.
+    adam_mu_dtype: str = "float32"
     log_every: int = 50                # train_options.py
     save_latest_every: int = 500       # train_options.py:25
     save_every_epochs: int = 5         # ddpm_trainer.py:350-362

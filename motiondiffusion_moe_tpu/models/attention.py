@@ -155,6 +155,11 @@ class PerformerSelfAttention(nn.Module):
                 m = m[..., 0]  # [B, T, 1] -> [B, T]
             attn_out = favor_attention_qkv(
                 qkv, ln_scale, ln_bias, projection, m)
+            # identity outside jax.checkpoint; under remat_blocks=
+            # "dots_named" marks the fused-kernel output as saved so the
+            # backward pass does not re-run the forward Pallas kernel
+            from jax.ad_checkpoint import checkpoint_name
+            attn_out = checkpoint_name(attn_out, "favor_out")
             attn_out = nn.Dropout(self.dropout)(attn_out,
                                                 deterministic=deterministic)
         else:
@@ -266,26 +271,50 @@ class LinearTemporalCrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, xf: jnp.ndarray, emb: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        B, T, D = x.shape
-        N = xf.shape[1]
+        D = x.shape[-1]
         H = self.num_heads
 
         xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         tn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
-        # The per-head q softmax runs on the FREE contiguous [B, T*H, dh]
-        # view: same elements, but the reduce sees standard (8, 128) tiling.
-        # Reducing in the [B, T, H, dh] layout tiles as T(4,128) (H=4
-        # sublanes) and ran 13x off the HBM roofline on v5e (profiled).
-        q = jax.nn.softmax(
-            nn.Dense(D, dtype=self.dtype, name="query")(xn)
-            .reshape(B, T * H, -1), axis=-1).reshape(B, T, H, -1)
-        k = jax.nn.softmax(
-            nn.Dense(D, dtype=self.dtype, name="key")(tn).reshape(B, N, H, -1),
-            axis=1)
-        v = nn.Dense(D, dtype=self.dtype, name="value")(tn).reshape(B, N, H, -1)
+        qd = nn.Dense(D, dtype=self.dtype, name="query")(xn)
+        kd = nn.Dense(D, dtype=self.dtype, name="key")(tn)
+        vd = nn.Dense(D, dtype=self.dtype, name="value")(tn)
 
-        attention = jnp.einsum("bnhd,bnhl->bhdl", k, v)
-        y = jnp.einsum("bnhd,bhdl->bnhl", q, attention).reshape(B, T, D)
+        if deterministic:
+            # Sampling: heads as lane-aligned 128-wide SLICES of the Dense
+            # outputs, not a [B, T, H, dh] reshape — every softmax and
+            # contraction then runs in the native (8, 128) tiling with zero
+            # relayouts. The reshape form tiles the per-head reduces as
+            # (4, 128) sublane strides (13x off the HBM roofline on v5e,
+            # profiled) and forces Mosaic head-layout copies around both
+            # einsums. Measured 94 vs 148 us/call standalone at the flagship
+            # shape (B=32, T=196, N=77, D=512, H=4) and 20.8 vs 19.7
+            # motions/s end-to-end. Same math as the reshape form (per-head
+            # contractions), same params.
+            dh = D // H
+            ys = []
+            for h in range(H):
+                sl = slice(h * dh, (h + 1) * dh)
+                qh = jax.nn.softmax(qd[..., sl], axis=-1)   # [B, T, dh]
+                kh = jax.nn.softmax(kd[..., sl], axis=1)    # [B, N, dh]
+                attn_h = jnp.einsum("bnd,bnl->bdl", kh, vd[..., sl])
+                ys.append(jnp.einsum("btd,bdl->btl", qh, attn_h))
+            y = jnp.concatenate(ys, axis=-1)                # [B, T, D]
+        else:
+            # Training: the BACKWARD of the sliced form fragments into
+            # per-head concat/slice chains and measures 5% slower per train
+            # step (91.0 vs 86.9 ms); the batched-head einsum form
+            # differentiates into two clean batched matmuls. The per-head
+            # q softmax still runs on the FREE contiguous [B, T*H, dh] view
+            # (standard (8, 128) tiling for the reduce).
+            B, T = qd.shape[0], qd.shape[1]
+            N = kd.shape[1]
+            q = jax.nn.softmax(qd.reshape(B, T * H, -1),
+                               axis=-1).reshape(B, T, H, -1)
+            k = jax.nn.softmax(kd.reshape(B, N, H, -1), axis=1)
+            v = vd.reshape(B, N, H, -1)
+            attention = jnp.einsum("bnhd,bnhl->bhdl", k, v)
+            y = jnp.einsum("bnhd,bhdl->bnhl", q, attention).reshape(B, T, D)
 
         gate = self.param("adaptive_gate", nn.initializers.zeros, (1,))
         alpha = nn.sigmoid(gate.astype(self.dtype))

@@ -164,11 +164,33 @@ class MotionTransformer(nn.Module):
             use_fast_xattn=cfg.use_fast_xattn,
             chunk_size=cfg.xattn_chunk_size,
             num_features=cfg.num_random_features, dtype=dtype)
+        Block = MoEDecoderLayer
+        if cfg.remat_blocks:
+            # Per-block rematerialization: the flagship train step is
+            # dominated by ~3000 small memory-bound backward fusions
+            # reading stored forward intermediates from HBM
+            # (BENCH_NOTES.md round-3 training profile); recomputing the
+            # elementwise/LN chains from saved matmul outputs trades cheap
+            # MXU FLOPs for that traffic. "deterministic" (arg 5, counting
+            # self) is a static python bool.
+            policies = {
+                "dots": jax.checkpoint_policies.dots_saveable,
+                # also save the fused Performer attention outputs so the
+                # backward does not re-run the forward Pallas kernels
+                "dots_named": jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "favor_out")),
+                "all": None,
+            }
+            policy = policies[cfg.remat_blocks]
+            Block = nn.remat(MoEDecoderLayer, static_argnums=(5,),
+                             policy=policy)
         self.decoder_blocks_low = [
-            MoEDecoderLayer(**block_kw, name=f"block_low_{i}")
+            Block(**block_kw, name=f"block_low_{i}")
             for i in range(cfg.num_layers)]
         self.decoder_blocks_high = [
-            MoEDecoderLayer(**block_kw, name=f"block_high_{i}")
+            Block(**block_kw, name=f"block_high_{i}")
             for i in range(cfg.num_layers)]
         # survival probs linspace(1.0 -> stochastic_depth_min)
         self.survival_probs = np.linspace(

@@ -53,9 +53,11 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     """clip_by_global_norm(1.0) -> Adam(lr) (``ddpm_trainer.py:241,298``)."""
+    mu_dtype = (jnp.bfloat16 if cfg.train.adam_mu_dtype == "bfloat16"
+                else None)
     return optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip_norm),
-        optax.adam(cfg.train.lr),
+        optax.adam(cfg.train.lr, mu_dtype=mu_dtype),
     )
 
 

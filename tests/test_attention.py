@@ -137,6 +137,23 @@ class TestCrossAttention:
         # style out is zero-init and alpha=sigmoid(0)=0.5 -> out == x at init
         np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
 
+    def test_linear_cross_attention_forms_agree(self):
+        """The deterministic (sliced-head) and training (batched-head
+        einsum) compute forms are the same math on the same params."""
+        x, xf, emb = self._xf()
+        m = LinearTemporalCrossAttention(latent_dim=32, text_latent_dim=24,
+                                         num_heads=4, dropout=0.0,
+                                         time_embed_dim=128)
+        params = jax.tree_util.tree_map(
+            lambda a: jax.random.normal(jax.random.key(7), a.shape,
+                                        a.dtype) * 0.05,
+            m.init(jax.random.key(3), x, xf, emb))
+        out_det = m.apply(params, x, xf, emb, True)
+        out_train = m.apply(params, x, xf, emb, False,
+                            rngs={"dropout": jax.random.key(0)})
+        np.testing.assert_allclose(np.asarray(out_det),
+                                   np.asarray(out_train), atol=2e-5)
+
     def test_gated_cross_attention_zero_gate(self):
         """Outer gate zero-init -> sigmoid = 0.5; with inner output == x at
         init the whole block is identity at init."""
