@@ -238,7 +238,11 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
                      f"mfu={flops1/step_s/197e12*100:.1f}%")
         out_lines.append(line)
 
-    K = int(os.environ.get("BENCH_TRAIN_SCAN", "8"))
+    # K=32 measured best (same-session sweep: K=8 93.7 ms, K=16 88.8,
+    # K=32 86.6 / 28.3% MFU — the per-dispatch host cost amortizes to
+    # nothing); the stacked K-batch buffer is ~2.6 GB at K=32, well within
+    # v5e HBM next to the 363M-param f32 train state.
+    K = int(os.environ.get("BENCH_TRAIN_SCAN", "32"))
     from motiondiffusion_moe_tpu.training.train_state import (
         make_multi_train_step)
 

@@ -302,11 +302,12 @@ class LinearTemporalCrossAttention(nn.Module):
             y = jnp.concatenate(ys, axis=-1)                # [B, T, D]
         else:
             # Training: the BACKWARD of the sliced form fragments into
-            # per-head concat/slice chains and measures 5% slower per train
-            # step (91.0 vs 86.9 ms); the batched-head einsum form
-            # differentiates into two clean batched matmuls. The per-head
-            # q softmax still runs on the FREE contiguous [B, T*H, dh] view
-            # (standard (8, 128) tiling for the reduce).
+            # per-head concat/slice chains and measured at-best neutral,
+            # likely slower (BENCH_NOTES.md round-3 second pass); the
+            # batched-head einsum form differentiates into two clean
+            # batched matmuls. The per-head q softmax still runs on the
+            # FREE contiguous [B, T*H, dh] view (standard (8, 128) tiling
+            # for the reduce).
             B, T = qd.shape[0], qd.shape[1]
             N = kd.shape[1]
             q = jax.nn.softmax(qd.reshape(B, T * H, -1),
