@@ -36,18 +36,18 @@ def main() -> None:
     # stdout captured and emit the result at the end.
     captured = io.StringIO()
     with contextlib.redirect_stdout(captured):
-        result, diag, train_diag_fn = _run()
-    # emit the headline IMMEDIATELY: the train-step diagnostic below can
-    # involve a multi-minute XLA compile and must never hold it hostage
+        result, diag, diag_fns = _run()
+    # emit the headline IMMEDIATELY: the diagnostics below can involve
+    # multi-minute XLA compiles and must never hold it hostage
     print(json.dumps(result), flush=True)
     print(diag, file=sys.stderr, flush=True)
-    if train_diag_fn is not None:
+    for fn in diag_fns:
         try:
             with contextlib.redirect_stdout(captured):
-                train_line = train_diag_fn()
-            print(train_line, file=sys.stderr, flush=True)
+                line = fn()
+            print(line, file=sys.stderr, flush=True)
         except Exception as e:  # diagnostics only — never sink the headline
-            print(f"# train-step bench failed: {type(e).__name__}: {e}",
+            print(f"# diag bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
     noise = captured.getvalue().strip()
     if noise:
@@ -103,9 +103,15 @@ def _run():
     jax.block_until_ready(params)
     _log("params ready")
 
+    # serving weight precision (see GenerationPipeline.param_dtype):
+    # weights stored bf16 on device halve the sampler's per-step
+    # weight-read traffic; drift measured in tests/test_pipeline.py
+    serve_dtype = os.environ.get("BENCH_SERVE_DTYPE") or None
+
     if run_sampler:
         pipe = GenerationPipeline(cfg, model, params, sampler="ddim",
-                                  num_inference_steps=steps, micro_batch=B)
+                                  num_inference_steps=steps, micro_batch=B,
+                                  param_dtype=serve_dtype)
         captions = ["a person walks forward and turns around"] * B
         lens = [T] * B
 
@@ -138,6 +144,7 @@ def _run():
         }
         diag = (f"# compile={compile_s:.1f}s run={elapsed:.2f}s batch={B} "
                 f"steps={steps} layers={layers} "
+                f"serve_dtype={serve_dtype or 'float32'} "
                 f"backend={jax.default_backend()}")
     else:
         # train-diag-only mode (BENCH_SAMPLER=0) for perf iteration —
@@ -146,13 +153,50 @@ def _run():
                   "vs_baseline": 0.0}
         diag = "# sampler skipped (BENCH_SAMPLER=0)"
 
-    train_diag_fn = None
+    diag_fns = []
+    if run_sampler and os.environ.get("BENCH_DPM", "1") != "0":
+        # DPM-Solver++(2M) throughput at 10 steps: substantiates the
+        # "10-20 steps for a further ~Nx" claim with a measured number
+        # (trajectory error vs the full-schedule solver is measured in
+        # tests/test_dpm_quality.py — this line is the speed half)
+        diag_fns.append(lambda: _dpm_diag(cfg, model, params, B, T,
+                                          serve_dtype))
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         # training benchmark at the reference's TRAIN batch size (32), not
         # the sampling micro-batch
-        train_diag_fn = lambda: _train_diag(
-            cfg, model, params, cfg.train.batch_size, T, D)
-    return result, diag, train_diag_fn
+        diag_fns.append(lambda: _train_diag(
+            cfg, model, params, cfg.train.batch_size, T, D))
+    return result, diag, diag_fns
+
+
+def _dpm_diag(cfg, model, params, B, T, serve_dtype=None) -> str:
+    """Measured DPM-Solver++(2M) sampling throughput (stderr diagnostic)."""
+    import jax
+
+    from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
+
+    steps = int(os.environ.get("BENCH_DPM_STEPS", "10"))
+    reps = int(os.environ.get("BENCH_DPM_REPS", "12"))
+    pipe = GenerationPipeline(cfg, model, params, sampler="dpm",
+                              num_inference_steps=steps, micro_batch=B,
+                              param_dtype=serve_dtype)
+    captions = ["a person walks forward and turns around"] * B
+    lens = [T] * B
+    _log(f"compiling {steps}-step DPM-Solver++ sampler...")
+    t0 = time.time()
+    warm = pipe.generate(captions, lens, rng=jax.random.key(0))
+    compile_s = time.time() - t0
+    import numpy as np
+    assert all(np.isfinite(m).all() for m in warm), \
+        "DPM benchmark produced non-finite motions"
+    _log(f"DPM sampler compiled in {compile_s:.1f}s; timing...")
+    t0 = time.time()
+    pipe.generate(captions * reps, lens * reps, rng=jax.random.key(1))
+    elapsed = time.time() - t0
+    mps = (B * reps) / elapsed
+    return (f"# dpm{steps}: motions/s={mps:.2f} "
+            f"({1.0 / mps * 1000:.1f} ms/motion) batch={B} reps={reps} "
+            f"compile={compile_s:.1f}s vs_baseline={mps * 0.31:.1f}x")
 
 
 def _train_diag(cfg, model, params, B, T, D) -> str:

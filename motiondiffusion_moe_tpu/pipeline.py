@@ -57,7 +57,8 @@ class GenerationPipeline:
                  micro_batch: int = 8,
                  mesh: Optional[Mesh] = None,
                  fetch_window: int = 2,
-                 graft_pretrained_text: bool = False):
+                 graft_pretrained_text: bool = False,
+                 param_dtype: Optional[str] = None):
         self.cfg = cfg
         self.model = model or MotionTransformer(config=cfg.model, mesh=mesh)
         self.mesh = mesh
@@ -67,6 +68,16 @@ class GenerationPipeline:
             assert micro_batch % dp == 0, (
                 f"micro_batch {micro_batch} not divisible by the mesh data "
                 f"axis ({dp})")
+        # serving weight precision: "bfloat16" stores the float32 weights
+        # as bf16 on device, halving the per-step weight-read traffic of
+        # the sampler (every denoiser weight is read once per diffusion
+        # step; compute is already bf16 via ModelConfig.dtype, so this
+        # only adds the storage rounding). The FAVOR+ random-feature
+        # projections stay float32 — they define the attention kernel's
+        # feature map and the fused kernels run them at full precision.
+        # Output drift is measured in tests/test_pipeline.py.
+        self._param_dtype = (jnp.bfloat16 if param_dtype == "bfloat16"
+                             else None)
         if graft_pretrained_text and params is not None:
             # for sampling from FRESH (untrained) params with a pretrained
             # DeBERTa backbone. Default off: params restored from a training
@@ -106,10 +117,27 @@ class GenerationPipeline:
 
     # ------------------------------------------------------------------
     def _place_params(self, params):
-        """Place params per the mesh's DP x EP x TP sharding rules (expert
-        weights over 'expert', FFN hidden dims over 'model', rest
-        replicated); pass-through without a mesh."""
-        if params is None or self.mesh is None:
+        """Optionally cast to the serving dtype, then place params per the
+        mesh's DP x EP x TP sharding rules (expert weights over 'expert',
+        FFN hidden dims over 'model', rest replicated); pass-through
+        without a mesh."""
+        if params is None:
+            return params
+        if self._param_dtype is not None:
+            dtype = self._param_dtype
+
+            def cast(path, leaf):
+                pstr = jax.tree_util.keystr(path)
+                if "projection" in pstr or leaf.dtype != jnp.float32:
+                    return leaf
+                return leaf.astype(dtype)
+
+            # ONE jitted program for the whole tree: eager per-leaf casts
+            # would dispatch ~1,900 device programs (each paying the full
+            # control-plane round trip on a remote chip)
+            params = jax.jit(lambda p: jax.tree_util.tree_map_with_path(
+                cast, p))(params)
+        if self.mesh is None:
             return params
         from motiondiffusion_moe_tpu.parallel import param_shardings
 

@@ -51,12 +51,61 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt_state)
 
 
+# Leaves below this element count are concatenated into ONE flat vector
+# for the global-norm reduction. The flagship tree has 1,860 leaves of
+# which 1,396 are < 2^18 elements yet hold only 26 MB of the 1.45 GB —
+# per-leaf square-reduces pay a fixed per-op cost that dominated the
+# clip's device time (measured 5.9 ms vs the 1.7 ms read roofline).
+# Grouping cuts the reduce count to ~470 at a ~52 MB copy cost.
+_NORM_GROUP_MAX_ELEMS = 262144
+
+
+def grouped_global_norm(tree, small_leaf_elems: int = _NORM_GROUP_MAX_ELEMS):
+    """``optax.global_norm`` with small leaves concatenated into one reduce.
+
+    Numerically equal up to float reassociation (different reduction
+    order over the same squares); see ``tests/test_training.py``.
+    """
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "size") and l.size]
+    small = [l.astype(jnp.float32).ravel() for l in leaves
+             if l.size < small_leaf_elems]
+    big = [l for l in leaves if l.size >= small_leaf_elems]
+    parts = [jnp.sum(jnp.square(jnp.concatenate(small)))] if small else []
+    parts += [jnp.sum(jnp.square(l.astype(jnp.float32))) for l in big]
+    return jnp.sqrt(jnp.sum(jnp.stack(parts)))
+
+
+def clip_by_grouped_global_norm(
+        max_norm: float,
+        small_leaf_elems: int = _NORM_GROUP_MAX_ELEMS,
+) -> optax.GradientTransformation:
+    """``optax.clip_by_global_norm`` semantics with the grouped norm."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = grouped_global_norm(updates, small_leaf_elems)
+        trigger = jnp.squeeze(g_norm < max_norm)
+
+        def clip(t):
+            return jax.lax.select(trigger, t,
+                                  (t / g_norm.astype(t.dtype)) * max_norm)
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     """clip_by_global_norm(1.0) -> Adam(lr) (``ddpm_trainer.py:241,298``)."""
     mu_dtype = (jnp.bfloat16 if cfg.train.adam_mu_dtype == "bfloat16"
                 else None)
     return optax.chain(
-        optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+        clip_by_grouped_global_norm(cfg.train.grad_clip_norm),
         optax.adam(cfg.train.lr, mu_dtype=mu_dtype),
     )
 
@@ -189,7 +238,8 @@ def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
                    rng: jax.Array):
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, rng)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        # same graph as the clip's norm -> XLA CSEs it away to zero cost
+        metrics["grad_norm"] = grouped_global_norm(grads)
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 

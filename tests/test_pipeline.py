@@ -72,6 +72,33 @@ class TestGenerationPipeline:
         assert outs[0].shape == (16, 26)
         assert np.isfinite(outs[0]).all()
 
+    def test_bf16_serving_params_drift(self, trained):
+        """param_dtype="bfloat16" (weights stored bf16 for serving) must
+        produce motions close to the f32-weight sampler — the measured
+        drift backs the bench's serving-precision mode."""
+        cfg, model, state = trained
+        kw = dict(sampler="ddim", num_inference_steps=5, micro_batch=2)
+        ref = GenerationPipeline(cfg, model, state.params, **kw).generate(
+            ["a person walks"], [16], rng=jax.random.key(3))[0]
+        got_pipe = GenerationPipeline(cfg, model, state.params,
+                                      param_dtype="bfloat16", **kw)
+        # FAVOR+ feature projections stay f32 (they define the kernel)
+        leaves = jax.tree_util.tree_leaves_with_path(got_pipe.params)
+        for path, leaf in leaves:
+            pstr = jax.tree_util.keystr(path)
+            if "projection" in pstr:
+                assert leaf.dtype == jnp.float32
+            elif "kernel" in pstr:
+                assert leaf.dtype == jnp.bfloat16
+        got = got_pipe.generate(["a person walks"], [16],
+                                rng=jax.random.key(3))[0]
+        assert np.isfinite(got).all()
+        scale = float(np.abs(ref).mean())
+        drift = float(np.abs(got - ref).mean())
+        # bf16 weight rounding is ~0.2% relative; the 5-step trajectory
+        # amplifies it but it must stay far below the signal
+        assert drift < 0.05 * scale, (drift, scale)
+
     def test_micro_batch_padding(self, trained):
         """3 prompts with micro_batch=2: tail chunk padded, one compiled
         shape, 3 outputs."""

@@ -101,6 +101,48 @@ class TestLosses:
         assert float(structure_loss(y, x, mask, 4)) > 0
 
 
+class TestGroupedGlobalNorm:
+    """The grouped global-norm clip (one reduce over concatenated small
+    leaves) must match optax.clip_by_global_norm up to reassociation."""
+
+    def _tree(self, scale):
+        keys = jax.random.split(jax.random.key(7), 5)
+        return {
+            "big": jax.random.normal(keys[0], (512, 1024)) * scale,
+            "bias": jax.random.normal(keys[1], (7,)) * scale,
+            "nested": {"ln": jax.random.normal(keys[2], (512,)) * scale,
+                       "w": jax.random.normal(keys[3], (2048, 512)) * scale},
+            "tiny": jax.random.normal(keys[4], (3, 5)) * scale,
+        }
+
+    def test_norm_matches_optax(self):
+        import optax
+
+        from motiondiffusion_moe_tpu.training.train_state import (
+            grouped_global_norm)
+
+        tree = self._tree(3.0)
+        ref = float(optax.global_norm(tree))
+        got = float(grouped_global_norm(tree, small_leaf_elems=1024))
+        assert abs(ref - got) < 1e-3 * ref
+
+    @pytest.mark.parametrize("scale", [3.0, 1e-4])  # clip / no-clip regimes
+    def test_clip_matches_optax(self, scale):
+        import optax
+
+        from motiondiffusion_moe_tpu.training.train_state import (
+            clip_by_grouped_global_norm)
+
+        tree = self._tree(scale)
+        ref, _ = optax.clip_by_global_norm(1.0).update(
+            tree, optax.EmptyState())
+        got, _ = clip_by_grouped_global_norm(1.0, 1024).update(
+            tree, optax.EmptyState())
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6,
+                                                    atol=1e-8), ref, got)
+
+
 class TestTrainStep:
     @pytest.fixture(scope="class")
     def setup(self):
