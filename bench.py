@@ -196,7 +196,8 @@ def _dpm_diag(cfg, model, params, B, T, serve_dtype=None) -> str:
     mps = (B * reps) / elapsed
     return (f"# dpm{steps}: motions/s={mps:.2f} "
             f"({1.0 / mps * 1000:.1f} ms/motion) batch={B} reps={reps} "
-            f"compile={compile_s:.1f}s vs_baseline={mps * 0.31:.1f}x")
+            f"compile={compile_s:.1f}s "
+            f"vs_baseline={mps / BASELINE_MOTIONS_PER_SEC:.1f}x")
 
 
 def _train_diag(cfg, model, params, B, T, D) -> str:

@@ -43,7 +43,8 @@ def _build() -> bool:
                 return True
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
-    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError,
+            ImportError) as e:  # ImportError: no fcntl (non-POSIX)
         _build_error = getattr(e, "stderr", str(e)) or str(e)
         return False
 

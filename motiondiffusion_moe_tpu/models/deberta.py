@@ -267,6 +267,11 @@ def get_deberta_tokenizer(max_tokens: int = 77, vocab_size: int = 128100
 
         tok = AutoTokenizer.from_pretrained("microsoft/deberta-v3-large",
                                             local_files_only=True)
+        if getattr(tok, "vocab_size", 0) > vocab_size:
+            # a small-vocab test encoder (e.g. deberta-tiny) cannot take
+            # the real tokenizer's ids — the embedding gather would
+            # silently clamp them (JAX indexing) into garbage features
+            raise ValueError("tokenizer vocab exceeds encoder vocab")
 
         def tokenize(texts: List[str]) -> np.ndarray:
             out = tok(texts, padding="max_length", truncation=True,

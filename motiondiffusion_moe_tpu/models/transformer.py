@@ -183,6 +183,10 @@ class MotionTransformer(nn.Module):
                         "favor_out")),
                 "all": None,
             }
+            if cfg.remat_blocks not in policies:
+                raise ValueError(
+                    f"remat_blocks={cfg.remat_blocks!r}: expected one of "
+                    f"{sorted(policies)} (or '' to disable)")
             policy = policies[cfg.remat_blocks]
             Block = nn.remat(MoEDecoderLayer, static_argnums=(5,),
                              policy=policy)

@@ -82,17 +82,30 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
-        template = {
-            "params": state_template.params,
-            "opt_state": state_template.opt_state,
-            "step": np.asarray(state_template.step),
-            "epoch": np.asarray(0),
-            "rng": np.zeros((4,), np.uint32),
-            "rng_width": np.asarray(0),
-            "has_rng": np.asarray(False),
-        }
-        restored = self._mngr.restore(
-            step, args=ocp.args.StandardRestore(template))
+        def template(rng_shape, with_width):
+            t = {
+                "params": state_template.params,
+                "opt_state": state_template.opt_state,
+                "step": np.asarray(state_template.step),
+                "epoch": np.asarray(0),
+                "rng": np.zeros(rng_shape, np.uint32),
+                "has_rng": np.asarray(False),
+            }
+            if with_width:
+                t["rng_width"] = np.asarray(0)
+            return t
+
+        try:
+            restored = self._mngr.restore(
+                step, args=ocp.args.StandardRestore(template((4,), True)))
+        except ValueError:
+            # Checkpoints written before the fixed-width rng buffer store
+            # "rng" at its natural (2,) threefry width with no "rng_width"
+            # entry; orbax rejects a structurally mismatched template (and
+            # a fresh manager's item_metadata is None, so the layout can't
+            # be sniffed up front) — retry with the legacy template.
+            restored = self._mngr.restore(
+                step, args=ocp.args.StandardRestore(template((2,), False)))
         state = state_template.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],

@@ -199,6 +199,16 @@ class Trainer:
             multi_fn = self.multi_step
 
         K = max(1, cfg.train.steps_per_call)
+        if K > 1 and isinstance(self.sampler, LossAwareSampler):
+            # Loss-aware samplers draw each sub-batch's t from weights
+            # updated after EVERY step (samplers.py); buffering K batches
+            # would draw from weights up to K steps stale — silently
+            # different importance sampling. Keep the reference cadence.
+            print("[trainer] steps_per_call>1 is incompatible with "
+                  f"loss-aware schedule sampler "
+                  f"'{cfg.diffusion.schedule_sampler}' (t would be drawn "
+                  "from stale weights); falling back to 1 step/call")
+            K = 1
         it = int(state.step)
         start_time = time.time()
 
@@ -257,6 +267,12 @@ class Trainer:
             for captions, motions, lengths in loader:
                 batch = self._make_batch(captions, motions, lengths)
                 if K > 1:
+                    if pending and (batch["motion"].shape[0]
+                                    != pending[0]["motion"].shape[0]):
+                        # ragged tail batch (drop_last=False loaders): the
+                        # K-chunk stack needs equal leading dims — drain
+                        # the buffer through the single-step path first
+                        run_pending(epoch, force=True)
                     pending.append(batch)
                     if cfg.train.uncond_step:
                         # the (cond, uncond) double step keeps its order in

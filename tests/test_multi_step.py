@@ -126,3 +126,54 @@ def test_trainer_steps_per_call(tmp_path):
     assert int(state.step) == 4
     assert np.isfinite(
         float(jnp.sum(state.params["params"]["out"]["kernel"])))
+
+
+@pytest.mark.slow
+def test_trainer_steps_per_call_ragged_tail():
+    """drop_last=False loaders can emit a smaller final batch; the K-chunk
+    buffer must drain through the single-step path instead of crashing on
+    the mismatched stack (batches 4,4,2 with K=3)."""
+    from motiondiffusion_moe_tpu.data import (
+        DataLoader, SyntheticText2MotionDataset)
+    from motiondiffusion_moe_tpu.training import Trainer
+
+    cfg = _cfg(uncond_step=False, num_epochs=1, steps_per_call=3,
+               log_every=1000, save_latest_every=1000)
+    ds = SyntheticText2MotionDataset(cfg.data, size=10, seed=0)
+    loader = DataLoader(ds, batch_size=4, seed=0, drop_last=False)
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    state = trainer.fit(state, loader)
+    # 3 loader batches (4, 4, 2): the ragged tail forces a drain of the
+    # two buffered full batches, then flushes itself at epoch end
+    assert int(state.step) == 3
+    assert np.isfinite(
+        float(jnp.sum(state.params["params"]["out"]["kernel"])))
+
+
+@pytest.mark.slow
+def test_loss_aware_sampler_forces_single_step():
+    """Loss-aware schedule samplers draw each sub-batch's t from weights
+    updated after EVERY step; steps_per_call>1 would sample from up-to-K-
+    steps-stale weights, so the trainer must fall back to 1 step/call."""
+    import dataclasses as _dc
+
+    from motiondiffusion_moe_tpu.data import (
+        DataLoader, SyntheticText2MotionDataset)
+    from motiondiffusion_moe_tpu.training import Trainer
+
+    cfg = _cfg(uncond_step=False, num_epochs=2, steps_per_call=8,
+               log_every=1000, save_latest_every=1000)
+    cfg = _dc.replace(cfg, diffusion=_dc.replace(
+        cfg.diffusion, schedule_sampler="loss-second-moment"))
+    ds = SyntheticText2MotionDataset(cfg.data, size=4, seed=0)
+    loader = DataLoader(ds, batch_size=4, seed=0)
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    state = trainer.fit(state, loader)
+    # with K forced to 1 every batch steps immediately (no buffering):
+    # 2 epochs x 1 batch = 2 steps, and the sampler saw every loss
+    assert int(state.step) == 2
+    assert trainer.sampler._loss_counts.sum() > 0

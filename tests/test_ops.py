@@ -531,13 +531,13 @@ class TestMoEDenseFusedKernel:
                            compute="dense_fused")
         x = jax.random.normal(jax.random.key(3), (2, 24, 128))
         params = m.init(jax.random.key(0), x)
-        out_det = m.apply(params, x, True)
         import os
-        os.environ["MOE_FUSED_KERNEL"] = "0"
+        os.environ["MOE_FUSED_KERNEL"] = "1"  # route via moe_dense_fused
         try:
-            out_inline = m.apply(params, x, True)
+            out_det = m.apply(params, x, True)
         finally:
             os.environ.pop("MOE_FUSED_KERNEL")
+        out_inline = m.apply(params, x, True)  # default: inline XLA chain
         np.testing.assert_allclose(np.asarray(out_det),
                                    np.asarray(out_inline),
                                    atol=1e-5, rtol=1e-5)

@@ -140,3 +140,38 @@ class TestCheckpoints:
         mngr = CheckpointManager(str(tmp_path / "empty"))
         assert mngr.restore(state) is None
         mngr.close()
+
+    @pytest.mark.slow
+    def test_restore_legacy_rng_layout(self, trained, tmp_path):
+        """Checkpoints written before the fixed-width rng buffer store
+        "rng" at its natural (2,) threefry width with no "rng_width"
+        entry — restore must adapt its template, not crash resume."""
+        import orbax.checkpoint as ocp
+
+        cfg, model, state = trained
+        key = jax.random.key(7)  # threefry: key_data shape (2,)
+        legacy = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(5),
+            "rng": np.asarray(jax.random.key_data(key)),
+            "has_rng": np.asarray(True),
+        }
+        d = str(tmp_path / "legacy")
+        m = ocp.CheckpointManager(
+            d, options=ocp.CheckpointManagerOptions(create=True))
+        m.save(2, args=ocp.args.StandardSave(legacy))
+        m.wait_until_finished()
+        m.close()
+
+        mngr = CheckpointManager(d)
+        restored, epoch, rng = mngr.restore_with_rng(state)
+        assert epoch == 5
+        assert int(restored.step) == int(state.step)
+        assert rng is not None
+        np.testing.assert_array_equal(np.asarray(jax.random.key_data(rng)),
+                                      np.asarray(jax.random.key_data(key)))
+        # the restored key is usable (same impl as saved)
+        jax.random.normal(rng, (2,))
+        mngr.close()

@@ -222,6 +222,60 @@ class TestTrainStep:
             assert np.isfinite(float(metrics[k])), k
 
 
+class TestRematBlocks:
+    """remat_blocks wraps decoder blocks in nn.remat (static_argnums for
+    `deterministic`, named-save policy for the favor kernels); the
+    rematerialized backward must reproduce the plain backward."""
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("policy", ["dots_named", "all"])
+    def test_remat_train_step_matches_plain(self, policy):
+        import dataclasses as _dc
+
+        cfg = tiny_config()
+        sched = make_schedule(schedule_name="linear",
+                              num_timesteps=cfg.diffusion.num_timesteps)
+        batch = {
+            "motion": jax.random.normal(jax.random.key(1), (2, 16, 26)) * 0.5,
+            "length": jnp.asarray([16, 12]),
+            "text_ids": jnp.ones((2, 8), jnp.int32),
+            "t": jnp.asarray([3, 40]),
+            "t_weight": jnp.ones((2,)),
+        }
+
+        def one_step(c):
+            model = MotionTransformer(config=c.model)
+            state = create_train_state(model, c, jax.random.key(0))
+            step = make_train_step(model, sched, c)
+            new_state, metrics = step(state, batch, jax.random.key(2))
+            return new_state, metrics
+
+        base_state, base_m = one_step(cfg)
+        remat_cfg = _dc.replace(
+            cfg, model=_dc.replace(cfg.model, remat_blocks=policy))
+        remat_state, remat_m = one_step(remat_cfg)
+
+        np.testing.assert_allclose(float(remat_m["loss_total"]),
+                                   float(base_m["loss_total"]), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(base_state.params),
+                        jax.tree_util.tree_leaves(remat_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_invalid_remat_value_raises(self):
+        import dataclasses as _dc
+
+        cfg = tiny_config()
+        bad = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                                 remat_blocks="dot"))
+        model = MotionTransformer(config=bad.model)
+        x = jnp.zeros((1, 16, 26))
+        t = jnp.zeros((1,), jnp.int32)
+        with pytest.raises(ValueError, match="remat_blocks"):
+            model.init(jax.random.key(0), x, t, jnp.full((1,), 16),
+                       text_ids=jnp.ones((1, 8), jnp.int32))
+
+
 class TestTrainerLoop:
     @pytest.mark.slow
     def test_fit_runs_epochs(self, tmp_path):
