@@ -224,6 +224,18 @@ class GenerationPipeline:
         arrays (un-normalized feature space — denormalize with the dataset's
         MotionNormalizer, as the reference's vis/eval paths do)."""
         assert self.params is not None, "set pipeline.params first"
+        if len(captions) != len(m_lens):
+            raise ValueError(
+                f"{len(captions)} captions but {len(m_lens)} lengths")
+        T = self.cfg.model.max_frames
+        bad = [(i, l) for i, l in enumerate(m_lens) if not 1 <= l <= T]
+        if bad:
+            # lengths outside [1, max_frames] were previously capped
+            # silently mid-pipeline — surface them instead
+            i, l = bad[0]
+            raise ValueError(
+                f"m_lens[{i}]={l} outside [1, max_frames={T}] "
+                f"({len(bad)} offending length(s))")
         rng = rng if rng is not None else jax.random.key(0)
         if self._compiled is None:
             self._compiled = self._sample_fn()

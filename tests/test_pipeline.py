@@ -99,6 +99,21 @@ class TestGenerationPipeline:
         # amplifies it but it must stay far below the signal
         assert drift < 0.05 * scale, (drift, scale)
 
+    def test_invalid_generate_inputs_raise(self, trained):
+        """Mismatched caption/length lists and out-of-range lengths must
+        fail loudly up front (they previously died in a cryptic reshape or
+        were capped silently)."""
+        cfg, model, state = trained
+        pipe = GenerationPipeline(cfg, model, state.params, sampler="ddim",
+                                  num_inference_steps=2, micro_batch=2)
+        with pytest.raises(ValueError, match="lengths"):
+            pipe.generate(["a", "b"], [16])
+        with pytest.raises(ValueError, match="max_frames"):
+            pipe.generate(["a"], [99])
+        with pytest.raises(ValueError, match="max_frames"):
+            pipe.generate(["a"], [0])
+        assert pipe.generate([], []) == []
+
     def test_micro_batch_padding(self, trained):
         """3 prompts with micro_batch=2: tail chunk padded, one compiled
         shape, 3 outputs."""
