@@ -214,6 +214,14 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
     from motiondiffusion_moe_tpu.training.train_state import (
         TrainState, make_optimizer, make_train_step)
 
+    # A/B knob for the Adam moment storage dtypes (the update runs at the
+    # f32 HBM roofline — see TrainConfig.adam_mu_dtype/adam_nu_dtype)
+    adam_dt = os.environ.get("BENCH_ADAM_DTYPE")
+    if adam_dt:
+        from dataclasses import replace
+        cfg = replace(cfg, train=replace(cfg.train, adam_mu_dtype=adam_dt,
+                                         adam_nu_dtype=adam_dt))
+
     sched = make_schedule(schedule_name=cfg.diffusion.beta_schedule,
                           num_timesteps=cfg.diffusion.num_timesteps)
     tx = make_optimizer(cfg)

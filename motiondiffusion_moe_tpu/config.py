@@ -163,9 +163,13 @@ class TrainConfig:
     # a threefry chain). "threefry" restores jax's default
     # partition-invariant streams (bit-identical across mesh layouts).
     rng_impl: str = "rbg"
-    # Adam first-moment dtype ("float32" | "bfloat16"): bf16 halves the
-    # mu read+write HBM traffic in the (bandwidth-bound) optimizer update.
+    # Adam moment dtypes ("float32" | "bfloat16"): bf16 halves that
+    # moment's read+write HBM traffic in the (bandwidth-bound, measured
+    # at the f32 roofline) optimizer update. nu is stored rounded but
+    # accumulated in f32; sqrt halves its relative rounding error in the
+    # denominator (~0.2%).
     adam_mu_dtype: str = "float32"
+    adam_nu_dtype: str = "float32"
     log_every: int = 50                # train_options.py
     save_latest_every: int = 500       # train_options.py:25
     save_every_epochs: int = 5         # ddpm_trainer.py:350-362

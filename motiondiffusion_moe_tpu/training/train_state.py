@@ -11,7 +11,7 @@ function with different text ids (identical shapes -> no recompile).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -100,13 +100,70 @@ def clip_by_grouped_global_norm(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class ScaleByAdamCompactState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def scale_by_adam_compact(b1: float = 0.9, b2: float = 0.999,
+                          eps: float = 1e-8,
+                          mu_dtype=None, nu_dtype=None
+                          ) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with BOTH moment storage dtypes selectable.
+
+    optax exposes only ``mu_dtype``; the second moment is the same HBM
+    mass and the flagship Adam update runs at the f32 read roofline
+    (BENCH_NOTES.md second training pass). Moments are accumulated in
+    f32 and stored rounded; with both dtypes None this matches
+    ``optax.scale_by_adam`` (parity-tested)."""
+
+    def cast(x, dtype):
+        return x.astype(dtype) if dtype is not None else x
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params)
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params)
+        return ScaleByAdamCompactState(jnp.zeros([], jnp.int32), mu, nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: cast(b1 * m.astype(g.dtype) + (1 - b1) * g,
+                              mu_dtype),
+            state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: cast(b2 * v.astype(g.dtype)
+                              + (1 - b2) * jnp.square(g), nu_dtype),
+            state.nu, updates)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, g, v: ((m.astype(g.dtype) / c1)
+                             / (jnp.sqrt(v.astype(g.dtype) / c2) + eps)),
+            mu, updates, nu)
+        return out, ScaleByAdamCompactState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     """clip_by_global_norm(1.0) -> Adam(lr) (``ddpm_trainer.py:241,298``)."""
     mu_dtype = (jnp.bfloat16 if cfg.train.adam_mu_dtype == "bfloat16"
                 else None)
+    if cfg.train.adam_nu_dtype == "bfloat16":
+        adam = optax.chain(
+            scale_by_adam_compact(mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16),
+            optax.scale_by_learning_rate(cfg.train.lr),
+        )
+    else:
+        adam = optax.adam(cfg.train.lr, mu_dtype=mu_dtype)
     return optax.chain(
         clip_by_grouped_global_norm(cfg.train.grad_clip_norm),
-        optax.adam(cfg.train.lr, mu_dtype=mu_dtype),
+        adam,
     )
 
 

@@ -222,6 +222,80 @@ class TestTrainStep:
             assert np.isfinite(float(metrics[k])), k
 
 
+class TestAdamCompact:
+    """scale_by_adam_compact (both moment dtypes selectable) must equal
+    optax.scale_by_adam in f32/f32 and stay close with bf16 moments."""
+
+    def _grads(self, i):
+        keys = jax.random.split(jax.random.key(100 + i), 2)
+        return {"w": jax.random.normal(keys[0], (64, 32)) * 0.1,
+                "b": jax.random.normal(keys[1], (32,)) * 0.1}
+
+    def test_f32_matches_optax(self):
+        import optax
+
+        from motiondiffusion_moe_tpu.training.train_state import (
+            scale_by_adam_compact)
+
+        params = self._grads(999)
+        ours, ref = scale_by_adam_compact(), optax.scale_by_adam()
+        s_o, s_r = ours.init(params), ref.init(params)
+        for i in range(5):
+            g = self._grads(i)
+            u_o, s_o = ours.update(g, s_o)
+            u_r, s_r = ref.update(g, s_r)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6,
+                                                        atol=1e-8),
+                u_o, u_r)
+
+    def test_bf16_nu_close_and_compact(self):
+        import optax
+
+        from motiondiffusion_moe_tpu.training.train_state import (
+            scale_by_adam_compact)
+
+        params = self._grads(999)
+        ours = scale_by_adam_compact(mu_dtype=jnp.bfloat16,
+                                     nu_dtype=jnp.bfloat16)
+        ref = optax.scale_by_adam()
+        s_o, s_r = ours.init(params), ref.init(params)
+        assert s_o.nu["w"].dtype == jnp.bfloat16
+        assert s_o.mu["w"].dtype == jnp.bfloat16
+        for i in range(10):
+            g = self._grads(i)
+            u_o, s_o = ours.update(g, s_o)
+            u_r, s_r = ref.update(g, s_r)
+        # bf16 moment rounding: updates stay within ~2% of f32 Adam
+        for a, b in zip(jax.tree_util.tree_leaves(u_o),
+                        jax.tree_util.tree_leaves(u_r)):
+            denom = np.abs(np.asarray(b)).mean()
+            assert np.abs(np.asarray(a) - np.asarray(b)).mean() < 0.02 * denom
+
+    @pytest.mark.slow
+    def test_train_step_runs_with_compact_adam(self):
+        import dataclasses as _dc
+
+        cfg = tiny_config()
+        cfg = _dc.replace(cfg, train=_dc.replace(
+            cfg.train, adam_mu_dtype="bfloat16", adam_nu_dtype="bfloat16"))
+        model = MotionTransformer(config=cfg.model)
+        sched = make_schedule(schedule_name="linear",
+                              num_timesteps=cfg.diffusion.num_timesteps)
+        state = create_train_state(model, cfg, jax.random.key(0))
+        step = make_train_step(model, sched, cfg)
+        batch = {
+            "motion": jax.random.normal(jax.random.key(1), (2, 16, 26)) * 0.5,
+            "length": jnp.asarray([16, 12]),
+            "text_ids": jnp.ones((2, 8), jnp.int32),
+            "t": jnp.asarray([3, 40]),
+            "t_weight": jnp.ones((2,)),
+        }
+        new_state, metrics = step(state, batch, jax.random.key(2))
+        assert np.isfinite(float(metrics["loss_total"]))
+        assert int(new_state.step) == 1
+
+
 class TestRematBlocks:
     """remat_blocks wraps decoder blocks in nn.remat (static_argnums for
     `deterministic`, named-save policy for the favor kernels); the
