@@ -239,7 +239,7 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
     }
     # the Trainer's training-stream default: TPU-native RngBitGenerator
     # (cfg.train.rng_impl — threefry dropout masks cost ~77 ms/step here)
-    rng = jax.random.key(0, impl=cfg.train.rng_impl)
+    rng = jax.random.key(0, impl=cfg.train.jax_rng_impl)
 
     # The scanned K-step program (training.make_multi_train_step) is the
     # DEFAULT train benchmark: it is the production inner loop, and it

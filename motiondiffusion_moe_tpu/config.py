@@ -163,6 +163,14 @@ class TrainConfig:
     # a threefry chain). "threefry" restores jax's default
     # partition-invariant streams (bit-identical across mesh layouts).
     rng_impl: str = "rbg"
+
+    @property
+    def jax_rng_impl(self) -> str:
+        """``rng_impl`` as a jax PRNG impl name ("threefry" is accepted
+        as an alias for jax's "threefry2x32")."""
+        return {"threefry": "threefry2x32"}.get(self.rng_impl,
+                                                self.rng_impl)
+
     # Adam moment dtypes ("float32" | "bfloat16"): bf16 halves that
     # moment's read+write HBM traffic in the (bandwidth-bound, measured
     # at the f32 roofline) optimizer update. nu is stored rounded but

@@ -72,7 +72,7 @@ def capture(batch: int, steps: int, mode: str, log_dir: str) -> None:
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=tx.init(params), tx=tx)
         step_fn = make_train_step(model, sched, cfg)
-        rng = jax.random.key(1, impl=cfg.train.rng_impl)
+        rng = jax.random.key(1, impl=cfg.train.jax_rng_impl)
         batch_data = {
             "motion": jnp.zeros((B, T, D), jnp.float32),
             "length": jnp.full((B,), T, jnp.int32),

@@ -57,6 +57,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="optimizer steps per compiled call (lax.scan inner "
                         "loop; amortizes per-dispatch host cost)")
+    p.add_argument("--rng_impl", default="rbg",
+                   choices=["rbg", "threefry"],
+                   help="training PRNG: rbg = TPU-native RngBitGenerator "
+                        "(faster); threefry = partition-invariant streams")
+    p.add_argument("--adam_mu_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam first-moment storage dtype")
+    p.add_argument("--adam_nu_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam second-moment storage dtype")
+    p.add_argument("--remat_blocks", default="",
+                   choices=["", "dots", "dots_named", "all"],
+                   help="per-decoder-block rematerialization policy "
+                        "(memory-vs-FLOPs; useful for bigger models)")
     p.add_argument("--caption_dropout", type=float, default=0.0)
     p.add_argument("--w_velocity", type=float, default=0.0)
     p.add_argument("--w_acceleration", type=float, default=0.0)
@@ -98,7 +112,8 @@ def config_from_args(args: argparse.Namespace):
         use_moe=not args.no_moe, num_experts=args.num_experts,
         text_encoder=args.text_encoder,
         text_encoder_ckpt=args.deberta_ckpt,
-        text_latent_dim=args.text_latent_dim * mult)
+        text_latent_dim=args.text_latent_dim * mult,
+        remat_blocks=args.remat_blocks)
 
     return ExperimentConfig(
         name=args.name,
@@ -115,6 +130,9 @@ def config_from_args(args: argparse.Namespace):
                           num_epochs=args.num_epochs, lr=args.lr,
                           seed=args.seed,
                           steps_per_call=args.steps_per_call,
+                          rng_impl=args.rng_impl,
+                          adam_mu_dtype=args.adam_mu_dtype,
+                          adam_nu_dtype=args.adam_nu_dtype,
                           uncond_step=not args.no_uncond_step,
                           caption_dropout=args.caption_dropout,
                           log_every=args.log_every,

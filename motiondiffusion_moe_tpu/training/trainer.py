@@ -129,7 +129,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.key(
-            self.cfg.train.seed, impl=self.cfg.train.rng_impl)
+            self.cfg.train.seed, impl=self.cfg.train.jax_rng_impl)
         state = create_train_state(self.model, self.cfg, rng)
         if self.cfg.model.text_encoder.startswith("deberta"):
             # graft pretrained DeBERTa weights (or warn-and-random-init) —
@@ -170,7 +170,7 @@ class Trainer:
         # rng_impl="rbg": TPU-native RngBitGenerator for the training
         # stream (dropout masks dominate otherwise — see TrainConfig)
         rng = rng if rng is not None else jax.random.key(
-            cfg.train.seed + 1, impl=cfg.train.rng_impl)
+            cfg.train.seed + 1, impl=cfg.train.jax_rng_impl)
 
         if checkpoints is not None:
             restored = checkpoints.restore_with_rng(state)

@@ -40,6 +40,27 @@ def _cli_args(tmp_path, name, epochs):
     ]
 
 
+def test_perf_knob_flags_reach_config():
+    """--rng_impl/--adam_*_dtype/--remat_blocks must land in the config
+    (and round-trip: evaluate/visualize rebuild the run from config.json)."""
+    from motiondiffusion_moe_tpu.tools.train import (
+        build_argparser, config_from_args)
+
+    args = build_argparser().parse_args([
+        "--rng_impl", "threefry", "--adam_mu_dtype", "bfloat16",
+        "--adam_nu_dtype", "bfloat16", "--remat_blocks", "dots_named",
+        "--steps_per_call", "4"])
+    cfg = config_from_args(args)
+    assert cfg.train.rng_impl == "threefry"
+    assert cfg.train.adam_mu_dtype == "bfloat16"
+    assert cfg.train.adam_nu_dtype == "bfloat16"
+    assert cfg.train.steps_per_call == 4
+    assert cfg.model.remat_blocks == "dots_named"
+    cfg2 = ExperimentConfig.from_json(cfg.to_json())
+    assert cfg2.train.adam_nu_dtype == "bfloat16"
+    assert cfg2.model.remat_blocks == "dots_named"
+
+
 class TestTrainerMesh:
     def _cfg(self, **par_kw):
         from dataclasses import replace
