@@ -50,9 +50,12 @@ class DistributedSampler:
         else:
             indices = np.arange(self.dataset_len)
         if self.round_up:
-            # pad by wrapping so every rank gets equal counts
-            indices = np.concatenate(
-                [indices, indices[: self.total_size - len(indices)]])
+            # pad by wrapping so every rank gets equal counts; tile when
+            # the dataset is smaller than the pad (dataset_len <
+            # num_replicas would otherwise under-pad and crash the
+            # length assert — torch's sampler repeats indices the same way)
+            reps = 1 + (self.total_size - 1) // max(1, len(indices))
+            indices = np.tile(indices, reps)[: self.total_size]
         indices = indices[self.rank: self.total_size: self.num_replicas]
         assert len(indices) == self.num_samples
         return iter(indices.tolist())
@@ -121,23 +124,42 @@ class DataLoader:
             return
         q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
         _END = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer is gone: an
+            # abandoned iteration (e.g. a steps-capped zip over the
+            # loader) would otherwise leave this thread blocked in
+            # q.put forever, leaking a thread + its queued batches per
+            # abandoned epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def producer():
             # exceptions MUST propagate to the consumer: a dead worker with
             # a silent queue deadlocks the train loop forever
             try:
                 for b in self._batches():
-                    q.put(b)
-                q.put(_END)
+                    if not put(b):
+                        return
+                put(_END)
             except BaseException as e:  # noqa: BLE001 — re-raised below
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -74,7 +74,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.motionio_assemble_batch.restype = ctypes.c_int
     lib.motionio_assemble_batch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int]
@@ -141,13 +141,17 @@ class NativeMotionStore:
         lengths = np.empty((B,), np.int32)
         rc = self._lib.motionio_assemble_batch(
             self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            B, max_len,
+            B, max_len, D,
             mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ctypes.c_uint64(seed),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             num_threads)
+        if rc == -2:
+            raise ValueError(
+                f"assemble_batch: an item's feature dim differs from the "
+                f"normalizer's ({D}) — mixed-dim store or wrong mean/std")
         if rc != 0:
             raise ValueError("assemble_batch failed (bad index?)")
         return out, lengths

@@ -34,8 +34,7 @@ def space_timesteps(num_timesteps: int,
             raise ValueError(
                 f"cannot create exactly {desired_count} steps with an integer stride")
         section_counts = [int(x) for x in section_counts.split(",")]
-    size_per = num_timesteps // len(list(section_counts))
-    section_counts = list(section_counts)
+    section_counts = list(section_counts)  # once: input may be a generator
     size_per = num_timesteps // len(section_counts)
     extra = num_timesteps % len(section_counts)
     start_idx = 0
@@ -75,8 +74,9 @@ def respace_schedule(base_betas: np.ndarray,
     timestep_map: List[int] = []
     new_betas: List[float] = []
     last_alpha_cumprod = 1.0
+    use = set(use_timesteps)  # once: a generator would drain on i=0
     for i, alpha_cumprod in enumerate(alphas_cumprod):
-        if i in set(use_timesteps):
+        if i in use:
             new_betas.append(1 - alpha_cumprod / last_alpha_cumprod)
             last_alpha_cumprod = alpha_cumprod
             timestep_map.append(i)

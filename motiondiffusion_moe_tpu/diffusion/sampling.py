@@ -222,6 +222,12 @@ def ddim_sample_loop(sched: DiffusionSchedule,
     """
     num_steps = sched.num_timesteps
     batch = noise.shape[0]
+    if guidance_scale is not None and cond_fn is not None:
+        raise ValueError(
+            "guidance_scale (CFG) and cond_fn (classifier guidance) are "
+            "separate paths in this loop — passing both would silently "
+            "drop cond_fn; apply classifier guidance inside model_fn or "
+            "sample without CFG")
     both = cfg_model_fn(model_fn) if guidance_scale is not None else None
 
     def body(x, step):

@@ -122,6 +122,12 @@ class MaskedBiGRU(nn.Module):
         bwd_seq = jnp.flip(bwd_seq, axis=1)
 
         seq = jnp.concatenate([fwd_seq, bwd_seq], axis=-1)
+        # torch's pad_packed_sequence yields ZEROS at t >= length; the
+        # masked scan instead carries the frozen final hidden there, and
+        # downstream unmasked consumers (AttLayer softmax) would attend
+        # to those phantom positions
+        valid = (t_idx[None, :] < lengths[:, None])[..., None]
+        seq = seq * valid.astype(seq.dtype)
         last = jnp.concatenate([fwd_last, bwd_last], axis=-1)
         return seq, last
 

@@ -77,6 +77,17 @@ def vectorize_tokens(tokens: List[str], w_vectorizer, max_text_len: int = 20
 
 def make_batches(samples: Sequence[EvalSample], w_vectorizer,
                  batch_size: int, max_text_len: int = 20) -> List[EvalBatch]:
+    """Batch eval samples, DROPPING the ragged tail like the reference
+    eval loaders (``datasets1/evaluator.py:331,387`` use
+    ``drop_last=True``): a smaller final retrieval pool would bias
+    R-precision/Matching Score (and a pool of <3 crashes top-3). The
+    tail is kept only when the whole set is smaller than one batch."""
+    n_full = (len(samples) // batch_size) * batch_size
+    if 0 < n_full < len(samples):
+        print(f"[protocol] dropping ragged tail: {len(samples) - n_full} "
+              f"of {len(samples)} samples (batch_size={batch_size}, "
+              f"reference drop_last semantics)")
+        samples = samples[:n_full]
     batches = []
     for start in range(0, len(samples), batch_size):
         chunk = samples[start: start + batch_size]
@@ -303,7 +314,10 @@ class ProtocolConfig:
     mm_num_times: int = 10
     diversity_times: int = 300
     replication_times: int = 20
-    batch_size: int = 32
+    # the reference protocol's retrieval-pool size (tools/evaluation.py:
+    # 423): R-precision/Matching Score are computed over pools of this
+    # size, so a different value is NOT comparable to reference numbers
+    batch_size: int = 512
     unit_length: int = 4
     max_motion_length: int = 196
     max_text_len: int = 20

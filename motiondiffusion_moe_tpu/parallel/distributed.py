@@ -29,22 +29,29 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     """Initialize multi-host JAX. No-op when already initialized or
     single-process. Env fallbacks: COORDINATOR_ADDRESS / NUM_PROCESSES /
     PROCESS_ID (the torchrun-env analog of ``tools/train.py:88-90``)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: never probe jax.process_count() here — it INSTANTIATES the
+    # local backend, after which jax.distributed.initialize() always
+    # raises, turning multi-host init into a silent no-op where every
+    # host trains the full dataset as process 0 of 1.
+    if jax.distributed.is_initialized():
+        return
     coordinator_address = coordinator_address or os.environ.get(
         "COORDINATOR_ADDRESS")
     num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", "0"))
     process_id = process_id if process_id is not None else int(
         os.environ.get("PROCESS_ID", "-1"))
+    if coordinator_address and num_processes > 1 and process_id >= 0:
+        # explicit multi-process config: failures must PROPAGATE — a
+        # degraded "1 of 1" run is silently wrong training, not a
+        # fallback
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+        return
     try:
-        if coordinator_address and num_processes > 1 and process_id >= 0:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id)
-        else:
-            # TPU pod / GKE: args are auto-detected from the environment
-            jax.distributed.initialize()
+        # TPU pod / GKE: args are auto-detected from the environment
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
         # single-process environments (tests, one-chip dev) land here
         pass

@@ -73,7 +73,12 @@ def main(argv=None) -> None:
     p.add_argument("--log_file", default="")
     p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpm"])
     p.add_argument("--steps", type=int, default=0)
-    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=32,
+                   help="generation micro-batch (serving shape)")
+    p.add_argument("--protocol_batch_size", type=int, default=512,
+                   help="retrieval-pool size for R-precision/Matching "
+                        "Score (the reference protocol uses 512, "
+                        "tools/evaluation.py:423)")
     p.add_argument("--replication_times", type=int, default=20)
     p.add_argument("--mm_num_samples", type=int, default=100)
     p.add_argument("--mm_num_repeats", type=int, default=30)
@@ -158,7 +163,7 @@ def main(argv=None) -> None:
         mm_num_times=args.mm_num_times,
         diversity_times=args.diversity_times,
         replication_times=args.replication_times,
-        batch_size=args.batch_size,
+        batch_size=args.protocol_batch_size,
         unit_length=cfg.data.unit_length,
         max_motion_length=cfg.data.max_motion_length,
         max_text_len=cfg.data.max_text_len)

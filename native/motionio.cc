@@ -182,16 +182,20 @@ int64_t motionio_item_rows(void* h, int64_t idx) {
 // Padding rows are normalized zeros, i.e. (0 - mean)/std: the reference
 // (datasets1/dataset1.py:134-141) zero-pads FIRST and normalizes the whole
 // [max_len, D] window, so padding is -mean/std, not 0.
+// Error codes: -1 bad index, -2 feature-dim mismatch (an item's cols
+// differs from the caller's `dim` — the caller allocates `out` as
+// [batch, max_len, dim], so a mismatch would read/write out of bounds).
 int motionio_assemble_batch(void* h, const int64_t* indices, int64_t batch,
-                            int64_t max_len, const float* mean,
+                            int64_t max_len, int64_t dim, const float* mean,
                             const float* std, uint64_t seed, float* out,
                             int32_t* out_lengths, int num_threads) {
   auto* reg = static_cast<Registry*>(h);
   const int64_t n_items = reg->motions.size();
   for (int64_t b = 0; b < batch; ++b) {
     if (indices[b] < 0 || indices[b] >= n_items) return -1;
+    if (reg->motions[indices[b]].cols != dim) return -2;
   }
-  const int64_t D = reg->motions.empty() ? 0 : reg->motions[0].cols;
+  const int64_t D = dim;
   std::vector<float> pad_row(D);
   for (int64_t d = 0; d < D; ++d) pad_row[d] = (0.0f - mean[d]) / std[d];
 

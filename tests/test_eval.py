@@ -148,9 +148,12 @@ class TestMaskedBiGRUvsTorch:
         }}
         seq_ours, _ = m.apply(params, jnp.asarray(x), jnp.asarray(lengths))
         seq_ours = np.asarray(seq_ours)
+        # FULL-length parity, padded frames included: pad_packed_sequence
+        # yields zeros at t >= length, and unmasked consumers (AttLayer
+        # softmax) see those positions, so they must match too
+        np.testing.assert_allclose(seq_ours, seq_torch, atol=1e-5)
         for i, L in enumerate(lengths):
-            np.testing.assert_allclose(seq_ours[i, :L], seq_torch[i, :L],
-                                       atol=1e-5)
+            assert np.all(seq_ours[i, L:] == 0.0)
 
 
 class TestFinestTarConverter:
@@ -288,10 +291,15 @@ class TestProtocol:
     def test_make_batches(self):
         samples = self._samples(5)
         wv = HashedWordVectorizer()
+        # ragged tail DROPPED (reference eval loaders use drop_last=True;
+        # a smaller retrieval pool would bias R-precision)
         batches = make_batches(samples, wv, batch_size=2)
-        assert len(batches) == 3
-        assert batches[0].word_embs.shape == (2, 22, 300)
+        assert len(batches) == 2
+        assert all(b.word_embs.shape == (2, 22, 300) for b in batches)
         assert batches[0].pos_ohots.shape == (2, 22, 15)
+        # whole set smaller than one batch: kept as a single ragged batch
+        batches = make_batches(samples, wv, batch_size=8)
+        assert len(batches) == 1 and batches[0].word_embs.shape[0] == 5
 
     def test_build_generated_samples(self):
         samples = self._samples(6)

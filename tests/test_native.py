@@ -95,6 +95,22 @@ class TestBatchAssembly:
             store.assemble_batch([99], 8, np.zeros(4, np.float32),
                                  np.ones(4, np.float32))
 
+    def test_feature_dim_mismatch_raises(self, store):
+        """An item whose feature dim differs from the normalizer's must be
+        rejected in C++ — the caller allocates [B, max_len, D] from the
+        mean, so an unchecked mismatch reads/writes out of bounds."""
+        store.add_array(np.zeros((5, 8), np.float32))
+        ok, _ = store.assemble_batch([0], 8, np.zeros(8, np.float32),
+                                     np.ones(8, np.float32))
+        assert ok.shape == (1, 8, 8)
+        with pytest.raises(ValueError, match="feature dim"):
+            store.assemble_batch([0], 8, np.zeros(4, np.float32),
+                                 np.ones(4, np.float32))
+        j = store.add_array(np.zeros((5, 6), np.float32))  # mixed-dim store
+        with pytest.raises(ValueError, match="feature dim"):
+            store.assemble_batch([j], 8, np.zeros(8, np.float32),
+                                 np.ones(8, np.float32))
+
     def test_multithreaded_consistent(self, store):
         m = np.random.default_rng(4).standard_normal((60, 8)).astype(np.float32)
         i = store.add_array(m)

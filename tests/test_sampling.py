@@ -158,3 +158,27 @@ class TestRespace:
     def test_section_counts(self):
         steps = space_timesteps(100, "10")
         assert len(steps) == 10
+
+    def test_cfg_plus_cond_fn_rejected(self, sched):
+        """guidance_scale and cond_fn are separate paths; passing both
+        silently dropped cond_fn before — it must raise."""
+        model = lambda x, t: x
+        noise = jnp.zeros((2, 4, 3))
+        with pytest.raises(ValueError, match="cond_fn"):
+            ddim_sample_loop(sched, model, noise, jax.random.key(0),
+                             guidance_scale=7.5,
+                             cond_fn=lambda x, t: jnp.zeros_like(x))
+
+    def test_generator_inputs(self, g):
+        """Both functions are typed Iterable[int]; a generator must not be
+        silently drained (space_timesteps crashed, respace_schedule
+        returned a near-empty schedule)."""
+        a = space_timesteps(100, (int(x) for x in [10, 10]))
+        assert a == space_timesteps(100, [10, 10])
+        betas = g["betas_linear"]
+        use = sorted(space_timesteps(100, "ddim25"))
+        s_list, m_list = respace_schedule(betas, use)
+        s_gen, m_gen = respace_schedule(betas, iter(use))
+        np.testing.assert_array_equal(m_list, m_gen)
+        np.testing.assert_allclose(np.asarray(s_list.betas),
+                                   np.asarray(s_gen.betas))

@@ -407,6 +407,42 @@ class TestDistributedSampler:
         s.set_epoch(0)
         assert list(iter(s)) == a  # deterministic per epoch
 
+    def test_dataset_smaller_than_replicas(self):
+        """Round-up padding must TILE when dataset_len < num_replicas
+        (a single wrap under-pads and crashed the length assert)."""
+        for n, reps in ((1, 4), (2, 8), (3, 4)):
+            samplers = [DistributedSampler(n, num_replicas=reps, rank=r)
+                        for r in range(reps)]
+            counts = [len(list(iter(s))) for s in samplers]
+            assert counts == [1] * reps
+            seen = set()
+            for s in samplers:
+                seen.update(iter(s))
+            assert seen <= set(range(n))
+
+    def test_abandoned_iteration_stops_prefetch_thread(self):
+        """A steps-capped loop abandons the loader iterator mid-epoch; the
+        prefetch thread must exit instead of blocking in q.put forever."""
+        import threading
+        import time as _time
+
+        from motiondiffusion_moe_tpu.config import DataConfig
+
+        ds = SyntheticText2MotionDataset(
+            DataConfig(dim_pose=8, max_motion_length=16,
+                       min_motion_length=8, num_joints=2), size=64, seed=0)
+        loader = DataLoader(ds, batch_size=4, seed=0)
+        before = threading.active_count()
+        for _ in range(3):
+            it = iter(loader)
+            next(it)
+            it.close()  # abandon mid-epoch (as `zip(range(n), loader)` does)
+        deadline = _time.time() + 5.0
+        while threading.active_count() > before and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert threading.active_count() <= before, (
+            f"{threading.active_count() - before} prefetch thread(s) leaked")
+
 
 class TestDataset:
     def test_synthetic_deterministic(self):
