@@ -128,10 +128,17 @@ class ParallelConfig:
     axes, with MoE all-to-all over the expert axis (ICI)."""
 
     data_axis: str = "data"
+    seq_axis: str = "seq"
     expert_axis: str = "expert"
     model_axis: str = "model"
     num_expert_partitions: int = 1     # experts sharded over this many devices
     num_model_partitions: int = 1      # tensor parallelism (FFN column/row split)
+    # sequence/context parallelism: activations sharded on the frame axis T,
+    # Performer kv moments all-reduced by XLA; no parameter is sharded.
+    # Routes attention through its SPMD-partitionable pure-JAX path (the
+    # Pallas kernels are single-device programs). Pick a value dividing
+    # max_frames AND max_frames//2 (196 -> 2) for even shards.
+    num_seq_partitions: int = 1
     # data-axis size: 0 = auto (all visible accelerator devices / EP; stays
     # single-device on the CPU backend so unit tests don't silently shard),
     # 1 = force unsharded, N>1 = force an N-way data axis.

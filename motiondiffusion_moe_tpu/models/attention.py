@@ -118,6 +118,14 @@ class PerformerSelfAttention(nn.Module):
     time_embed_dim: int
     num_features: int = 256
     fused: bool = True
+    # use_kernels=False keeps the SAME parameter tree (merged qkv Dense,
+    # fa_norm/projection params) but computes the FAVOR+ core and epilogue
+    # with the pure-JAX reference even on TPU. Needed under sequence
+    # parallelism: a pallas_call is opaque to the SPMD partitioner, while
+    # the reference einsums let XLA close the kv-moment reduction over the
+    # sharded T axis with an all-reduce. Numerics are identical (the
+    # kernels are parity-tested against these references).
+    use_kernels: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -133,7 +141,7 @@ class PerformerSelfAttention(nn.Module):
 
         if self.fused:
             from motiondiffusion_moe_tpu.ops.performer_pallas import (
-                favor_attention_qkv)
+                favor_attention_qkv, favor_qkv_reference)
 
             # ONE merged [D, 3D] matmul instead of three [D, D] ones (q|k|v
             # column blocks). Init matches per-block torch xavier_normal(0.1)
@@ -153,8 +161,14 @@ class PerformerSelfAttention(nn.Module):
             m = src_mask
             if m is not None and m.ndim == 3:
                 m = m[..., 0]  # [B, T, 1] -> [B, T]
-            attn_out = favor_attention_qkv(
-                qkv, ln_scale, ln_bias, projection, m)
+            if self.use_kernels:
+                attn_out = favor_attention_qkv(
+                    qkv, ln_scale, ln_bias, projection, m)
+            else:
+                # SPMD-partitionable path: same math, plain einsums; under
+                # a seq-sharded constraint XLA all-reduces the kv moments
+                attn_out = favor_qkv_reference(
+                    qkv, ln_scale, ln_bias, projection, m)
             # identity outside jax.checkpoint; under remat_blocks=
             # "dots_named" marks the fused-kernel output as saved so the
             # backward pass does not re-run the forward Pallas kernel
@@ -207,7 +221,7 @@ class PerformerSelfAttention(nn.Module):
             dropout=self.dropout, dtype=self.dtype,
             out_kernel_init=init, emb_kernel_init=init, name="style_block")
         use_dropout = (not deterministic) and self.dropout > 0
-        if not use_dropout:
+        if not use_dropout and self.use_kernels:
             style_out = style(attn_out, emb, deterministic,
                               pre_ln=(post_scale, post_bias))
         else:
@@ -231,6 +245,7 @@ class DualSelfAttentionBlock(nn.Module):
     dropout: float
     time_embed_dim: int
     num_features: int = 256
+    use_kernels: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -242,11 +257,13 @@ class DualSelfAttentionBlock(nn.Module):
             latent_dim=self.latent_dim, num_heads=self.num_heads,
             dropout=self.dropout, time_embed_dim=self.time_embed_dim,
             num_features=self.num_features, dtype=self.dtype,
+            use_kernels=self.use_kernels,
             name="local_attn")(h, emb, src_mask, deterministic)
         global_out = PerformerSelfAttention(
             latent_dim=self.latent_dim, num_heads=self.num_heads,
             dropout=self.dropout, time_embed_dim=self.time_embed_dim,
             num_features=self.num_features, dtype=self.dtype,
+            use_kernels=self.use_kernels,
             name="global_attn")(local_out, emb, src_mask, deterministic)
 
         skip = nn.Dense(self.latent_dim, dtype=self.dtype, name="skip_proj")(x)

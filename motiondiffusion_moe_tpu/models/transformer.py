@@ -41,6 +41,7 @@ from motiondiffusion_moe_tpu.models.embeddings import (
 )
 from motiondiffusion_moe_tpu.models.moe import DenseFFN, MoEMultiBranchFFN
 from motiondiffusion_moe_tpu.models.text_encoder import TextEncoding, get_text_encoder
+from motiondiffusion_moe_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
 
 
 def generate_src_mask(T: int, length: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +71,10 @@ class MoEDecoderLayer(nn.Module):
     use_fast_xattn: bool = False
     chunk_size: int = 256
     num_features: int = 256
+    # False under sequence parallelism: Pallas kernels are opaque to the
+    # SPMD partitioner; the pure-JAX attention path partitions over the
+    # sharded T axis (see PerformerSelfAttention.use_kernels)
+    use_kernels: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,6 +85,7 @@ class MoEDecoderLayer(nn.Module):
             latent_dim=self.latent_dim, num_heads=self.num_heads,
             dropout=self.dropout, time_embed_dim=self.time_embed_dim,
             num_features=self.num_features, dtype=self.dtype,
+            use_kernels=self.use_kernels,
             name="dual_self_attn")(x, emb, src_mask, deterministic)
         x = GatedCrossAttention(
             latent_dim=self.latent_dim, text_latent_dim=self.text_latent_dim,
@@ -153,6 +159,13 @@ class MotionTransformer(nn.Module):
         self.upsample = nn.ConvTranspose(cfg.latent_dim, kernel_size=(2,),
                                          strides=(2,), dtype=dtype)
 
+        # Sequence parallelism: when the mesh carries a 'seq' axis > 1,
+        # activations are sharded on T (constraints in __call__/_run_blocks)
+        # and the attention stack runs its SPMD-partitionable pure-JAX path
+        # (Pallas calls cannot be partitioned over a sharded operand axis).
+        self._seq_sharded = (self.mesh is not None
+                             and self.mesh.shape.get(SEQ_AXIS, 1) > 1)
+
         block_kw = dict(
             latent_dim=cfg.latent_dim, text_latent_dim=cfg.text_latent_dim,
             num_heads=cfg.num_heads, dropout=cfg.dropout,
@@ -163,6 +176,7 @@ class MotionTransformer(nn.Module):
             mesh=self.mesh,
             use_fast_xattn=cfg.use_fast_xattn,
             chunk_size=cfg.xattn_chunk_size,
+            use_kernels=not self._seq_sharded,
             num_features=cfg.num_random_features, dtype=dtype)
         Block = MoEDecoderLayer
         if cfg.remat_blocks:
@@ -208,9 +222,20 @@ class MotionTransformer(nn.Module):
                     deterministic: bool = True) -> TextEncoding:
         return self.text_encoder(text_ids, deterministic=deterministic)
 
+    def _seq_constrain(self, h: jnp.ndarray) -> jnp.ndarray:
+        """Pin [B, T, D] activations to (data, seq) sharding when the mesh
+        has a 'seq' axis — the anchor XLA propagates sequence parallelism
+        from. No-op otherwise."""
+        if not self._seq_sharded:
+            return h
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            h, NamedSharding(self.mesh, P(DATA_AXIS, SEQ_AXIS, None)))
+
     def _run_blocks(self, blocks, h, xf, emb, src_mask, deterministic):
         for i, block in enumerate(blocks):
             p = float(self.survival_probs[i])
+            h = self._seq_constrain(h)
             out = block(h, xf, emb, src_mask, deterministic)
             if deterministic or p >= 1.0:
                 h = out
@@ -251,6 +276,7 @@ class MotionTransformer(nn.Module):
         # 3) embed motion + positions (transformer.py:324-326)
         h = self.joint_embed(x.astype(dtype))
         h = h + self.sequence_embedding[None, :T, :].astype(dtype)
+        h = self._seq_constrain(h)
 
         src_mask = generate_src_mask(T, length)[..., None]  # [B, T, 1]
 
@@ -265,7 +291,7 @@ class MotionTransformer(nn.Module):
 
         # 5) upsample + skip (transformer.py:347-353)
         h_up = self.upsample(h_low)
-        h_combined = h_up[:, :T] + h
+        h_combined = self._seq_constrain(h_up[:, :T] + h)
 
         # 6) full scale (transformer.py:356-357)
         h_combined = self._run_blocks(self.decoder_blocks_high, h_combined,

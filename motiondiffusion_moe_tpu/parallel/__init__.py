@@ -1,4 +1,8 @@
 from motiondiffusion_moe_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    SEQ_AXIS,
+    EXPERT_AXIS,
+    MODEL_AXIS,
     make_mesh,
     batch_spec,
     param_shardings,

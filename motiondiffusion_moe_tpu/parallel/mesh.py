@@ -36,21 +36,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 EXPERT_AXIS = "expert"
 MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: Optional[int] = None,
               expert_parallel: int = 1,
-              tensor_parallel: int = 1) -> Mesh:
-    """Mesh of shape (data = n/(ep*tp), expert = ep, model = tp)."""
+              tensor_parallel: int = 1,
+              seq_parallel: int = 1) -> Mesh:
+    """Mesh of shape (data = n/(sp*ep*tp)[, seq = sp], expert = ep, model = tp).
+
+    The 'seq' axis (sequence/context parallelism: activations sharded on
+    the frame dimension T, the Performer kv-moment reduction closed by an
+    XLA all-reduce) is inserted only when ``seq_parallel > 1`` so existing
+    3-axis meshes — and every shard_map spec written against them — are
+    unchanged. No parameter is sharded over 'seq'; it is an
+    activation-only axis (see ``MotionTransformer`` sharding constraints).
+    """
     devices = jax.devices()
     n = n_devices or len(devices)
     assert n <= len(devices), f"want {n} devices, have {len(devices)}"
-    assert n % (expert_parallel * tensor_parallel) == 0
+    assert n % (expert_parallel * tensor_parallel * seq_parallel) == 0
+    dp = n // (expert_parallel * tensor_parallel * seq_parallel)
+    if seq_parallel > 1:
+        arr = np.asarray(devices[:n]).reshape(
+            dp, seq_parallel, expert_parallel, tensor_parallel)
+        return Mesh(arr, (DATA_AXIS, SEQ_AXIS, EXPERT_AXIS, MODEL_AXIS))
     arr = np.asarray(devices[:n]).reshape(
-        n // (expert_parallel * tensor_parallel),
-        expert_parallel, tensor_parallel)
+        dp, expert_parallel, tensor_parallel)
     return Mesh(arr, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS))
 
 

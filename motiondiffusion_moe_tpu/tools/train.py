@@ -83,6 +83,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=0,
                    help="DP degree; 0 = auto (all devices on an accelerator"
                         " backend, single-device on CPU)")
+    p.add_argument("--seq_parallel", type=int, default=1,
+                   help="SP degree: activations sharded on the frame axis"
+                        " (pick a divisor of max_frames and max_frames//2)")
     p.add_argument("--synthetic_size", type=int, default=256,
                    help="synthetic dataset size (dataset=synthetic)")
     p.add_argument("--no_native_io", action="store_true",
@@ -125,7 +128,8 @@ def config_from_args(args: argparse.Namespace):
         model=model,
         parallel=ParallelConfig(num_expert_partitions=args.expert_parallel,
                                 num_model_partitions=args.tensor_parallel,
-                                num_data_partitions=args.data_parallel),
+                                num_data_partitions=args.data_parallel,
+                                num_seq_partitions=args.seq_parallel),
         train=TrainConfig(batch_size=args.batch_size,
                           num_epochs=args.num_epochs, lr=args.lr,
                           seed=args.seed,
