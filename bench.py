@@ -78,6 +78,13 @@ def _run():
     if layers != cfg.model.num_layers:
         from dataclasses import replace
         cfg = replace(cfg, model=replace(cfg.model, num_layers=layers))
+    # A/B knob for per-block rematerialization in the TRAIN diag (the
+    # sampler has no backward; remat only changes the training program):
+    # BENCH_REMAT=dots|dots_named|all (see ModelConfig.remat_blocks)
+    remat = os.environ.get("BENCH_REMAT")
+    if remat:
+        from dataclasses import replace
+        cfg = replace(cfg, model=replace(cfg.model, remat_blocks=remat))
     run_sampler = os.environ.get("BENCH_SAMPLER", "1") != "0"
 
     model = MotionTransformer(config=cfg.model)

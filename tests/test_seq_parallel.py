@@ -140,6 +140,41 @@ class TestSeqShardedTraining:
             np.testing.assert_allclose(x, y, atol=1e-5)
 
     @pytest.mark.slow
+    def test_pipeline_seq_mesh_matches_single_device(self):
+        """GenerationPipeline with a (data, seq, expert) mesh — sequence-
+        parallel SERVING through the public API — reproduces the
+        single-device motions."""
+        from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
+
+        cfg = tiny_cfg(8)
+        ref_model = MotionTransformer(config=cfg.model)
+        B = 2
+        batch = make_batch(B)
+        params = ref_model.init({"params": jax.random.key(0)},
+                                batch["motion"], batch["t"],
+                                batch["length"], text_ids=batch["text_ids"])
+
+        caps = ["a person walks"] * 8
+        lens = [16] * 8
+        pipe_ref = GenerationPipeline(cfg, ref_model, params, sampler="ddim",
+                                      num_inference_steps=10, micro_batch=8)
+        ref = pipe_ref.generate(caps, lens, rng=jax.random.key(5))
+
+        # model=None: the pipeline builds MotionTransformer(mesh=mesh)
+        # itself, so the seq constraints and the partitionable attention
+        # path actually engage
+        mesh = make_mesh(8, seq_parallel=2, expert_parallel=2)
+        pipe_sp = GenerationPipeline(cfg, None, params, sampler="ddim",
+                                     num_inference_steps=10, micro_batch=8,
+                                     mesh=mesh)
+        out = pipe_sp.generate(caps, lens, rng=jax.random.key(5))
+
+        assert len(out) == len(ref)
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+    @pytest.mark.slow
     def test_seq_only_mesh_two_steps(self):
         """Pure SP (seq=2, everything else 1): loss finite and moving."""
         cfg = tiny_cfg(2)
