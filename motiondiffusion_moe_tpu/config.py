@@ -119,6 +119,14 @@ class ModelConfig:
     #                   the backward pass)
     #   "all"         - full recompute (minimum memory)
     remat_blocks: str = ""
+    # Run each U-Net scale's decoder blocks as ONE nn.scan over a stacked
+    # [L, ...] parameter layout instead of L separately-traced modules.
+    # Same math (parity-tested); the traced program shrinks ~Lx, cutting
+    # XLA compile time, and the stacked layout is what layer-sharded
+    # schemes (pipeline staging) partition. Checkpoints convert between
+    # layouts with models.transformer.stack_block_params /
+    # unstack_block_params.
+    scan_blocks: bool = False
 
 
 @dataclass(frozen=True)

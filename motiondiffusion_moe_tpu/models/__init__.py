@@ -20,6 +20,8 @@ from motiondiffusion_moe_tpu.models.moe import (  # noqa: F401
 from motiondiffusion_moe_tpu.models.transformer import (  # noqa: F401
     MoEDecoderLayer,
     MotionTransformer,
+    stack_block_params,
+    unstack_block_params,
 )
 from motiondiffusion_moe_tpu.models.text_encoder import (  # noqa: F401
     HashTextEncoder,

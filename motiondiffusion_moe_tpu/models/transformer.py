@@ -50,6 +50,43 @@ def generate_src_mask(T: int, length: jnp.ndarray) -> jnp.ndarray:
     return (jnp.arange(T)[None, :] < length[:, None]).astype(jnp.float32)
 
 
+def _block_kwargs(cfg: ModelConfig, time_embed_dim: int, mesh, use_kernels,
+                  dtype) -> dict:
+    """Constructor kwargs for one MoEDecoderLayer (shared by the named
+    per-block layout and the nn.scan stacked layout)."""
+    return dict(
+        latent_dim=cfg.latent_dim, text_latent_dim=cfg.text_latent_dim,
+        num_heads=cfg.num_heads, dropout=cfg.dropout,
+        time_embed_dim=time_embed_dim, ffn_dim=cfg.ff_size,
+        num_experts=cfg.num_experts, num_branches=cfg.moe_num_branches,
+        top_k=cfg.moe_top_k, capacity_factor=cfg.moe_capacity_factor,
+        use_moe=cfg.use_moe, moe_compute=cfg.moe_compute,
+        mesh=mesh,
+        use_fast_xattn=cfg.use_fast_xattn,
+        chunk_size=cfg.xattn_chunk_size,
+        use_kernels=use_kernels,
+        num_features=cfg.num_random_features, dtype=dtype)
+
+
+def _remat_policy(name: str):
+    """jax.checkpoint policy for ModelConfig.remat_blocks (shared by both
+    block layouts); raises on unknown names."""
+    policies = {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        # also save the fused Performer attention outputs so the backward
+        # does not re-run the forward Pallas kernels
+        "dots_named": jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_saveable,
+            jax.checkpoint_policies.save_only_these_names("favor_out")),
+        "all": None,
+    }
+    if name not in policies:
+        raise ValueError(
+            f"remat_blocks={name!r}: expected one of "
+            f"{sorted(policies)} (or '' to disable)")
+    return policies[name]
+
+
 class MoEDecoderLayer(nn.Module):
     """One decoder block (``MoEExtendedDecoderLayer``,
     ``transformer.py:17-64``): dual Performer self-attn -> gated linear
@@ -116,6 +153,50 @@ class MoEDecoderLayer(nn.Module):
         return x
 
 
+class _StackStep(nn.Module):
+    """One ``nn.scan`` step over a stacked decoder-block scale: the block
+    plus branchless per-layer stochastic depth (the survival probability
+    rides as the scanned input; ``time.py:41-48`` semantics — whole-batch
+    coin, no rescale). Carry is the hidden state."""
+
+    config: ModelConfig
+    time_embed_dim: int
+    mesh: Optional[Mesh] = None
+    use_kernels: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, survival_p, xf, emb, src_mask, deterministic):
+        out = MoEDecoderLayer(
+            **_block_kwargs(self.config, self.time_embed_dim, self.mesh,
+                            self.use_kernels, self.dtype),
+            name="block")(h, xf, emb, src_mask, deterministic)
+        if not deterministic:
+            keep = jax.random.bernoulli(self.make_rng("stochdepth"),
+                                        survival_p)
+            out = jnp.where(keep, out, h)
+        return out, None
+
+
+def _make_scanned_stack(cfg: ModelConfig, time_embed_dim: int, mesh,
+                        use_kernels, dtype, name: str):
+    """An nn.scan over ``num_layers`` _StackSteps with stacked [L, ...]
+    params (sown MoE aux values stack on a leading layer axis too)."""
+    Step = _StackStep
+    if cfg.remat_blocks:
+        # "deterministic" (arg 6 counting self) is a static python bool
+        Step = nn.remat(_StackStep, static_argnums=(6,),
+                        policy=_remat_policy(cfg.remat_blocks))
+    return nn.scan(
+        Step,
+        variable_axes={"params": 0, "moe_losses": 0, "moe_metrics": 0},
+        split_rngs={"params": True, "dropout": True, "stochdepth": True},
+        in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+        length=cfg.num_layers,
+    )(config=cfg, time_embed_dim=time_embed_dim, mesh=mesh,
+      use_kernels=use_kernels, dtype=dtype, name=name)
+
+
 class MotionTransformer(nn.Module):
     """2-scale U-Net denoiser (``transformer.py:166-361``).
 
@@ -166,50 +247,38 @@ class MotionTransformer(nn.Module):
         self._seq_sharded = (self.mesh is not None
                              and self.mesh.shape.get(SEQ_AXIS, 1) > 1)
 
-        block_kw = dict(
-            latent_dim=cfg.latent_dim, text_latent_dim=cfg.text_latent_dim,
-            num_heads=cfg.num_heads, dropout=cfg.dropout,
-            time_embed_dim=self.time_embed_dim, ffn_dim=cfg.ff_size,
-            num_experts=cfg.num_experts, num_branches=cfg.moe_num_branches,
-            top_k=cfg.moe_top_k, capacity_factor=cfg.moe_capacity_factor,
-            use_moe=cfg.use_moe, moe_compute=cfg.moe_compute,
-            mesh=self.mesh,
-            use_fast_xattn=cfg.use_fast_xattn,
-            chunk_size=cfg.xattn_chunk_size,
-            use_kernels=not self._seq_sharded,
-            num_features=cfg.num_random_features, dtype=dtype)
-        Block = MoEDecoderLayer
-        if cfg.remat_blocks:
-            # Per-block rematerialization: the flagship train step is
-            # dominated by ~3000 small memory-bound backward fusions
-            # reading stored forward intermediates from HBM
-            # (BENCH_NOTES.md round-3 training profile); recomputing the
-            # elementwise/LN chains from saved matmul outputs trades cheap
-            # MXU FLOPs for that traffic. "deterministic" (arg 5, counting
-            # self) is a static python bool.
-            policies = {
-                "dots": jax.checkpoint_policies.dots_saveable,
-                # also save the fused Performer attention outputs so the
-                # backward does not re-run the forward Pallas kernels
-                "dots_named": jax.checkpoint_policies.save_from_both_policies(
-                    jax.checkpoint_policies.dots_saveable,
-                    jax.checkpoint_policies.save_only_these_names(
-                        "favor_out")),
-                "all": None,
-            }
-            if cfg.remat_blocks not in policies:
-                raise ValueError(
-                    f"remat_blocks={cfg.remat_blocks!r}: expected one of "
-                    f"{sorted(policies)} (or '' to disable)")
-            policy = policies[cfg.remat_blocks]
-            Block = nn.remat(MoEDecoderLayer, static_argnums=(5,),
-                             policy=policy)
-        self.decoder_blocks_low = [
-            Block(**block_kw, name=f"block_low_{i}")
-            for i in range(cfg.num_layers)]
-        self.decoder_blocks_high = [
-            Block(**block_kw, name=f"block_high_{i}")
-            for i in range(cfg.num_layers)]
+        if cfg.scan_blocks:
+            # ONE nn.scan per U-Net scale over stacked [L, ...] params:
+            # the traced program shrinks ~Lx (compile time, program size)
+            # and the stacked layout is what layer-sharded schemes
+            # partition. Same math as the named layout (parity-tested);
+            # stack_block_params/unstack_block_params convert checkpoints.
+            self.decoder_blocks_low = _make_scanned_stack(
+                cfg, self.time_embed_dim, self.mesh,
+                not self._seq_sharded, dtype, name="blocks_low")
+            self.decoder_blocks_high = _make_scanned_stack(
+                cfg, self.time_embed_dim, self.mesh,
+                not self._seq_sharded, dtype, name="blocks_high")
+        else:
+            block_kw = _block_kwargs(cfg, self.time_embed_dim, self.mesh,
+                                     not self._seq_sharded, dtype)
+            Block = MoEDecoderLayer
+            if cfg.remat_blocks:
+                # Per-block rematerialization: the flagship train step is
+                # dominated by ~3000 small memory-bound backward fusions
+                # reading stored forward intermediates from HBM
+                # (BENCH_NOTES.md round-3 training profile); recomputing
+                # the elementwise/LN chains from saved matmul outputs
+                # trades cheap MXU FLOPs for that traffic. "deterministic"
+                # (arg 5, counting self) is a static python bool.
+                Block = nn.remat(MoEDecoderLayer, static_argnums=(5,),
+                                 policy=_remat_policy(cfg.remat_blocks))
+            self.decoder_blocks_low = [
+                Block(**block_kw, name=f"block_low_{i}")
+                for i in range(cfg.num_layers)]
+            self.decoder_blocks_high = [
+                Block(**block_kw, name=f"block_high_{i}")
+                for i in range(cfg.num_layers)]
         # survival probs linspace(1.0 -> stochastic_depth_min)
         self.survival_probs = np.linspace(
             1.0, cfg.stochastic_depth_min, cfg.num_layers)
@@ -233,6 +302,13 @@ class MotionTransformer(nn.Module):
             h, NamedSharding(self.mesh, P(DATA_AXIS, SEQ_AXIS, None)))
 
     def _run_blocks(self, blocks, h, xf, emb, src_mask, deterministic):
+        if self.config.scan_blocks:
+            # scanned stack: stochastic depth happens inside the scan body
+            # (survival probs ride as the scanned input)
+            survival = jnp.asarray(self.survival_probs, jnp.float32)
+            h = self._seq_constrain(h)
+            h, _ = blocks(h, survival, xf, emb, src_mask, deterministic)
+            return self._seq_constrain(h)
         for i, block in enumerate(blocks):
             p = float(self.survival_probs[i])
             h = self._seq_constrain(h)
@@ -300,6 +376,43 @@ class MotionTransformer(nn.Module):
 
         # 7) zero-init out (transformer.py:360)
         return self.out(h_combined).astype(jnp.float32)
+
+
+def _stack_scale(tree: dict, prefix: str, stacked_name: str) -> dict:
+    names = sorted((k for k in tree if k.startswith(prefix)),
+                   key=lambda s: int(s[len(prefix):]))
+    if not names:
+        raise ValueError(f"no '{prefix}*' block params found to stack")
+    subs = [tree[k] for k in names]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *subs)
+    out = {k: v for k, v in tree.items() if k not in names}
+    out[stacked_name] = {"block": stacked}
+    return out
+
+
+def stack_block_params(variables: dict) -> dict:
+    """Convert a named per-block checkpoint (``block_low_0``...) to the
+    ``scan_blocks=True`` stacked layout (``blocks_low/block`` with a
+    leading [L] layer axis on every leaf). Inverse:
+    :func:`unstack_block_params`."""
+    p = _stack_scale(dict(variables["params"]), "block_low_", "blocks_low")
+    p = _stack_scale(p, "block_high_", "blocks_high")
+    return {**variables, "params": p}
+
+
+def unstack_block_params(variables: dict) -> dict:
+    """Convert a ``scan_blocks=True`` stacked checkpoint back to the named
+    per-block layout."""
+    p = dict(variables["params"])
+    for stacked_name, prefix in (("blocks_low", "block_low_"),
+                                 ("blocks_high", "block_high_")):
+        if stacked_name not in p:
+            raise ValueError(f"no '{stacked_name}' stacked params found")
+        sub = p.pop(stacked_name)["block"]
+        L = jax.tree_util.tree_leaves(sub)[0].shape[0]
+        for i in range(L):
+            p[f"{prefix}{i}"] = jax.tree.map(lambda x, i=i: x[i], sub)
+    return {**variables, "params": p}
 
 
 def sum_moe_aux_losses(collections) -> jnp.ndarray:

@@ -79,10 +79,20 @@ def _is_expert_param(path: str, leaf) -> bool:
 
 
 def _param_spec(pstr: str, leaf, ep: int, tp: int) -> P:
-    """PartitionSpec for one parameter leaf under the DP x EP x TP rules."""
+    """PartitionSpec for one parameter leaf under the DP x EP x TP rules.
+
+    Leaves under a ``blocks_*`` subtree come from the ``scan_blocks=True``
+    stacked layout and carry a leading [L] layer axis: the rules below
+    apply to the per-layer shape, with the layer axis left unsharded.
+    """
     if not hasattr(leaf, "ndim"):
         return P()
     shape = leaf.shape
+    lead = 1 if "['blocks_" in pstr else 0  # nn.scan stacked layer axis
+    shape = shape[lead:]
+
+    def spec(*axes):
+        return P(*([None] * lead), *axes)
 
     def div(dim, k):
         return k > 1 and dim < len(shape) and shape[dim] % k == 0
@@ -93,23 +103,23 @@ def _param_spec(pstr: str, leaf, ep: int, tp: int) -> P:
         e_ax = EXPERT_AXIS if div(0, ep) else None
         name = pstr.rsplit("'", 2)[-2]
         if name == "w1" and div(2, tp):      # [E, D, H]
-            return P(e_ax, None, MODEL_AXIS)
+            return spec(e_ax, None, MODEL_AXIS)
         if name == "b1" and div(1, tp):      # [E, H]
-            return P(e_ax, MODEL_AXIS)
+            return spec(e_ax, MODEL_AXIS)
         if name == "w2" and div(1, tp):      # [E, H, D]
-            return P(e_ax, MODEL_AXIS, None)
-        return P(e_ax, *([None] * (len(shape) - 1)))
+            return spec(e_ax, MODEL_AXIS, None)
+        return spec(e_ax, *([None] * (len(shape) - 1)))
 
     # Dense FFN pairs (DenseFFN branches + CrossAttentionBlock residual MLP):
     # first matmul column-parallel, second row-parallel
     col = ("_fc1" in pstr) or ("ffn_0" in pstr)
     row = ("_fc2" in pstr) or ("ffn_1" in pstr)
     if col and pstr.endswith("['kernel']") and div(1, tp):
-        return P(None, MODEL_AXIS)
+        return spec(None, MODEL_AXIS)
     if col and pstr.endswith("['bias']") and div(0, tp):
-        return P(MODEL_AXIS)
+        return spec(MODEL_AXIS)
     if row and pstr.endswith("['kernel']") and div(0, tp):
-        return P(MODEL_AXIS, None)
+        return spec(MODEL_AXIS, None)
     return P()
 
 

@@ -71,6 +71,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["", "dots", "dots_named", "all"],
                    help="per-decoder-block rematerialization policy "
                         "(memory-vs-FLOPs; useful for bigger models)")
+    p.add_argument("--scan_blocks", action="store_true",
+                   help="run each U-Net scale's blocks as one nn.scan over "
+                        "stacked [L,...] params (~Lx smaller traced "
+                        "program; same math)")
     p.add_argument("--caption_dropout", type=float, default=0.0)
     p.add_argument("--w_velocity", type=float, default=0.0)
     p.add_argument("--w_acceleration", type=float, default=0.0)
@@ -116,7 +120,8 @@ def config_from_args(args: argparse.Namespace):
         text_encoder=args.text_encoder,
         text_encoder_ckpt=args.deberta_ckpt,
         text_latent_dim=args.text_latent_dim * mult,
-        remat_blocks=args.remat_blocks)
+        remat_blocks=args.remat_blocks,
+        scan_blocks=args.scan_blocks)
 
     return ExperimentConfig(
         name=args.name,
