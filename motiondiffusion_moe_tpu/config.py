@@ -127,6 +127,10 @@ class ModelConfig:
     # layouts with models.transformer.stack_block_params /
     # unstack_block_params.
     scan_blocks: bool = False
+    # GPipe microbatches per pipelined forward (0 = auto: 2x the 'pipe'
+    # degree). Only read when the mesh has a 'pipe' axis > 1; the batch
+    # must divide into this many microbatches.
+    pipeline_microbatches: int = 0
 
 
 @dataclass(frozen=True)
@@ -147,6 +151,10 @@ class ParallelConfig:
     # Pallas kernels are single-device programs). Pick a value dividing
     # max_frames AND max_frames//2 (196 -> 2) for even shards.
     num_seq_partitions: int = 1
+    # pipeline parallelism: GPipe stages over the stacked decoder-block
+    # layer axis (requires model.scan_blocks; composes with DP only —
+    # parallel/pipeline_parallel.py)
+    num_pipeline_stages: int = 1
     # data-axis size: 0 = auto (all visible accelerator devices / EP; stays
     # single-device on the CPU backend so unit tests don't silently shard),
     # 1 = force unsharded, N>1 = force an N-way data axis.

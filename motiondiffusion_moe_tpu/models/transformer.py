@@ -41,7 +41,11 @@ from motiondiffusion_moe_tpu.models.embeddings import (
 )
 from motiondiffusion_moe_tpu.models.moe import DenseFFN, MoEMultiBranchFFN
 from motiondiffusion_moe_tpu.models.text_encoder import TextEncoding, get_text_encoder
-from motiondiffusion_moe_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+from motiondiffusion_moe_tpu.parallel.mesh import (
+    DATA_AXIS,
+    PIPE_AXIS,
+    SEQ_AXIS,
+)
 
 
 def generate_src_mask(T: int, length: jnp.ndarray) -> jnp.ndarray:
@@ -246,6 +250,33 @@ class MotionTransformer(nn.Module):
         # (Pallas calls cannot be partitioned over a sharded operand axis).
         self._seq_sharded = (self.mesh is not None
                              and self.mesh.shape.get(SEQ_AXIS, 1) > 1)
+        # Pipeline parallelism: 'pipe' axis > 1 runs the stacked block
+        # scales through the GPipe microbatch ring
+        # (parallel/pipeline_parallel.py). PP requires the stacked layout
+        # and composes with DP only — the ring body is manual per-device
+        # code the SPMD partitioner cannot shard further.
+        self._pp = (self.mesh is not None
+                    and self.mesh.shape.get(PIPE_AXIS, 1) > 1)
+        if self._pp:
+            S = self.mesh.shape[PIPE_AXIS]
+            if not cfg.scan_blocks:
+                raise ValueError(
+                    "pipeline parallelism needs scan_blocks=True (stages "
+                    "are contiguous slices of the stacked layer axis)")
+            if cfg.num_layers % S != 0:
+                raise ValueError(
+                    f"num_layers={cfg.num_layers} not divisible by "
+                    f"pipeline stages ({S})")
+            for ax in (SEQ_AXIS, "expert", "model"):
+                if self.mesh.shape.get(ax, 1) > 1:
+                    raise ValueError(
+                        f"pipeline parallelism composes with 'data' only; "
+                        f"mesh has {ax}={self.mesh.shape[ax]}")
+            if cfg.moe_compute == "dispatch":
+                raise ValueError(
+                    "moe_compute='dispatch' (shard_map all-to-all) cannot "
+                    "nest inside the pipeline ring; use 'dense' or "
+                    "'dense_fused'")
 
         if cfg.scan_blocks:
             # ONE nn.scan per U-Net scale over stacked [L, ...] params:
@@ -301,13 +332,59 @@ class MotionTransformer(nn.Module):
         return jax.lax.with_sharding_constraint(
             h, NamedSharding(self.mesh, P(DATA_AXIS, SEQ_AXIS, None)))
 
+    def _run_blocks_pp(self, blocks, h, xf, emb, src_mask, deterministic,
+                       survival):
+        """GPipe ring over the 'pipe' mesh axis (see
+        parallel/pipeline_parallel.py). Reads the stacked block params off
+        the (already-initialized) scan stack and applies them functionally
+        stage by stage."""
+        from motiondiffusion_moe_tpu.parallel.pipeline_parallel import (
+            gpipe, make_block_stage_fn)
+
+        cfg = self.config
+        stacked = blocks.variables["params"]["block"]
+        # parent=None: a detached template (NOT a submodule of self) — it
+        # is applied functionally per layer inside the ring with the
+        # stacked params sliced to the local stage
+        template = MoEDecoderLayer(**_block_kwargs(
+            cfg, self.time_embed_dim, None, True, self._dtype),
+            parent=None)
+        S = self.mesh.shape[PIPE_AXIS]
+        M = cfg.pipeline_microbatches or 2 * S
+        if deterministic:
+            stage = make_block_stage_fn(template, True)
+            xs = (survival,)
+        else:
+            # ONE whole-batch coin per block per forward (time.py:41-48),
+            # shared by every microbatch; block dropout keys per
+            # (layer, microbatch)
+            coins = jax.random.bernoulli(self.make_rng("stochdepth"),
+                                         survival)
+            keys = jax.random.split(self.make_rng("dropout"),
+                                    (cfg.num_layers, M))
+            stage = make_block_stage_fn(template, False)
+            xs = (survival, coins, keys)
+        payload = {"h": h, "xf": xf, "emb": emb, "src_mask": src_mask}
+        out, aux = gpipe(stage, stacked, payload, self.mesh, M, xs)
+        _last = lambda prev, new: new  # noqa: E731
+        _zero = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
+        self.sow("moe_losses", f"pp_aux_{blocks.name}", aux,
+                 init_fn=_zero, reduce_fn=_last)
+        return out["h"]
+
     def _run_blocks(self, blocks, h, xf, emb, src_mask, deterministic):
         if self.config.scan_blocks:
             # scanned stack: stochastic depth happens inside the scan body
             # (survival probs ride as the scanned input)
             survival = jnp.asarray(self.survival_probs, jnp.float32)
             h = self._seq_constrain(h)
-            h, _ = blocks(h, survival, xf, emb, src_mask, deterministic)
+            if self._pp and not self.is_initializing():
+                # init runs the plain scan (creates the stacked params);
+                # apply runs the pipeline ring over the same params
+                h = self._run_blocks_pp(blocks, h, xf, emb, src_mask,
+                                        deterministic, survival)
+            else:
+                h, _ = blocks(h, survival, xf, emb, src_mask, deterministic)
             return self._seq_constrain(h)
         for i, block in enumerate(blocks):
             p = float(self.survival_probs[i])

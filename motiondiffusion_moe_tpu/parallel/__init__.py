@@ -13,6 +13,10 @@ from motiondiffusion_moe_tpu.parallel.moe_parallel import (  # noqa: F401
     ep_moe_ffn,
     make_ep_moe_layer,
 )
+from motiondiffusion_moe_tpu.parallel.pipeline_parallel import (  # noqa: F401
+    gpipe,
+    make_block_stage_fn,
+)
 from motiondiffusion_moe_tpu.parallel.distributed import (  # noqa: F401
     initialize_distributed,
     is_primary,

@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SEQ_AXIS = "seq"
+PIPE_AXIS = "pipe"
 EXPERT_AXIS = "expert"
 MODEL_AXIS = "model"
 
@@ -44,28 +45,35 @@ MODEL_AXIS = "model"
 def make_mesh(n_devices: Optional[int] = None,
               expert_parallel: int = 1,
               tensor_parallel: int = 1,
-              seq_parallel: int = 1) -> Mesh:
-    """Mesh of shape (data = n/(sp*ep*tp)[, seq = sp], expert = ep, model = tp).
+              seq_parallel: int = 1,
+              pipeline_parallel: int = 1) -> Mesh:
+    """Mesh of shape
+    (data = n/(sp*pp*ep*tp)[, seq = sp][, pipe = pp], expert = ep, model = tp).
 
     The 'seq' axis (sequence/context parallelism: activations sharded on
     the frame dimension T, the Performer kv-moment reduction closed by an
-    XLA all-reduce) is inserted only when ``seq_parallel > 1`` so existing
-    3-axis meshes — and every shard_map spec written against them — are
-    unchanged. No parameter is sharded over 'seq'; it is an
-    activation-only axis (see ``MotionTransformer`` sharding constraints).
+    XLA all-reduce) and the 'pipe' axis (pipeline parallelism: the
+    ``scan_blocks`` stacked layer dim sharded into contiguous stages, a
+    GPipe microbatch ring via shard_map + ppermute) are inserted only when
+    their degree is > 1, so existing 3-axis meshes — and every shard_map
+    spec written against them — are unchanged. 'seq' shards no parameters;
+    'pipe' shards ONLY the stacked decoder-block leaves (leading [L] axis).
     """
     devices = jax.devices()
     n = n_devices or len(devices)
     assert n <= len(devices), f"want {n} devices, have {len(devices)}"
-    assert n % (expert_parallel * tensor_parallel * seq_parallel) == 0
-    dp = n // (expert_parallel * tensor_parallel * seq_parallel)
+    degrees = (expert_parallel * tensor_parallel * seq_parallel
+               * pipeline_parallel)
+    assert n % degrees == 0, (n, degrees)
+    dp = n // degrees
+    axes = [(DATA_AXIS, dp)]
     if seq_parallel > 1:
-        arr = np.asarray(devices[:n]).reshape(
-            dp, seq_parallel, expert_parallel, tensor_parallel)
-        return Mesh(arr, (DATA_AXIS, SEQ_AXIS, EXPERT_AXIS, MODEL_AXIS))
-    arr = np.asarray(devices[:n]).reshape(
-        dp, expert_parallel, tensor_parallel)
-    return Mesh(arr, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS))
+        axes.append((SEQ_AXIS, seq_parallel))
+    if pipeline_parallel > 1:
+        axes.append((PIPE_AXIS, pipeline_parallel))
+    axes += [(EXPERT_AXIS, expert_parallel), (MODEL_AXIS, tensor_parallel)]
+    arr = np.asarray(devices[:n]).reshape([s for _, s in axes])
+    return Mesh(arr, tuple(name for name, _ in axes))
 
 
 def batch_spec() -> P:
@@ -78,21 +86,26 @@ def _is_expert_param(path: str, leaf) -> bool:
         path.endswith(f"['{n}']") for n in ("w1", "w2", "b1", "b2"))
 
 
-def _param_spec(pstr: str, leaf, ep: int, tp: int) -> P:
-    """PartitionSpec for one parameter leaf under the DP x EP x TP rules.
+def _param_spec(pstr: str, leaf, ep: int, tp: int, pp: int = 1) -> P:
+    """PartitionSpec for one parameter leaf under the DP x EP x TP (x PP)
+    rules.
 
     Leaves under a ``blocks_*`` subtree come from the ``scan_blocks=True``
     stacked layout and carry a leading [L] layer axis: the rules below
-    apply to the per-layer shape, with the layer axis left unsharded.
+    apply to the per-layer shape. The layer axis is sharded over 'pipe'
+    (contiguous stages — XLA shards dim 0 in equal contiguous chunks) when
+    pipeline parallelism is on, else left unsharded.
     """
     if not hasattr(leaf, "ndim"):
         return P()
     shape = leaf.shape
     lead = 1 if "['blocks_" in pstr else 0  # nn.scan stacked layer axis
+    lead_ax = (PIPE_AXIS,) if (
+        lead and pp > 1 and shape[0] % pp == 0) else (None,) * lead
     shape = shape[lead:]
 
     def spec(*axes):
-        return P(*([None] * lead), *axes)
+        return P(*lead_ax, *axes)
 
     def div(dim, k):
         return k > 1 and dim < len(shape) and shape[dim] % k == 0
@@ -120,17 +133,21 @@ def _param_spec(pstr: str, leaf, ep: int, tp: int) -> P:
         return spec(MODEL_AXIS)
     if row and pstr.endswith("['kernel']") and div(0, tp):
         return spec(MODEL_AXIS, None)
-    return P()
+    # default: replicated — except the stacked layer axis, which still
+    # shards over 'pipe' for EVERY stacked block leaf
+    return spec()
 
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding pytree per the DP x EP x TP rules (see module doc)."""
+    """NamedSharding pytree per the DP x EP x TP (x PP) rules (see module
+    doc)."""
     ep = mesh.shape.get(EXPERT_AXIS, 1)
     tp = mesh.shape.get(MODEL_AXIS, 1)
+    pp = mesh.shape.get(PIPE_AXIS, 1)
 
     def rule(path, leaf):
         pstr = jax.tree_util.keystr(path)
-        return NamedSharding(mesh, _param_spec(pstr, leaf, ep, tp))
+        return NamedSharding(mesh, _param_spec(pstr, leaf, ep, tp, pp))
 
     return jax.tree_util.tree_map_with_path(rule, params)
 
@@ -166,11 +183,12 @@ def make_sharded_train_step(train_step: Callable, state: Any,
     replicated = NamedSharding(mesh, P())
     ep = mesh.shape.get(EXPERT_AXIS, 1)
     tp = mesh.shape.get(MODEL_AXIS, 1)
+    pp = mesh.shape.get(PIPE_AXIS, 1)
 
     def rule(path, leaf):
         """Param shardings mirror into the adam moments (same tree paths)."""
         pstr = jax.tree_util.keystr(path)
-        return NamedSharding(mesh, _param_spec(pstr, leaf, ep, tp))
+        return NamedSharding(mesh, _param_spec(pstr, leaf, ep, tp, pp))
 
     state_shardings = jax.tree_util.tree_map_with_path(
         rule, state, is_leaf=lambda x: isinstance(x, jax.Array))

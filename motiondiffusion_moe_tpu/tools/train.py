@@ -90,6 +90,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seq_parallel", type=int, default=1,
                    help="SP degree: activations sharded on the frame axis"
                         " (pick a divisor of max_frames and max_frames//2)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="PP degree: GPipe stages over the stacked decoder"
+                        " blocks (requires --scan_blocks; composes with DP"
+                        " only)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches (0 = 2x the PP degree)")
     p.add_argument("--synthetic_size", type=int, default=256,
                    help="synthetic dataset size (dataset=synthetic)")
     p.add_argument("--no_native_io", action="store_true",
@@ -121,7 +127,8 @@ def config_from_args(args: argparse.Namespace):
         text_encoder_ckpt=args.deberta_ckpt,
         text_latent_dim=args.text_latent_dim * mult,
         remat_blocks=args.remat_blocks,
-        scan_blocks=args.scan_blocks)
+        scan_blocks=args.scan_blocks,
+        pipeline_microbatches=args.pp_microbatches)
 
     return ExperimentConfig(
         name=args.name,
@@ -134,7 +141,8 @@ def config_from_args(args: argparse.Namespace):
         parallel=ParallelConfig(num_expert_partitions=args.expert_parallel,
                                 num_model_partitions=args.tensor_parallel,
                                 num_data_partitions=args.data_parallel,
-                                num_seq_partitions=args.seq_parallel),
+                                num_seq_partitions=args.seq_parallel,
+                                num_pipeline_stages=args.pipeline_parallel),
         train=TrainConfig(batch_size=args.batch_size,
                           num_epochs=args.num_epochs, lr=args.lr,
                           seed=args.seed,

@@ -236,8 +236,14 @@ def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
         noise = jax.random.normal(noise_key, x_start.shape, x_start.dtype)
         x_t = q_sample(sched, x_start, t, noise)
 
+        # pass ONLY the params collection: TrainState.params carries the
+        # full init() output, whose stale init-time sown collections would
+        # otherwise ride into `cols` and double-count any aux value the
+        # current path sows under a different name (e.g. the pipeline
+        # ring's pp_aux_* vs the stacked scan's per-layer entries)
         model_out, cols = model.apply(
-            params, x_t, t, batch["length"], text_ids=batch["text_ids"],
+            {"params": params["params"]}, x_t, t, batch["length"],
+            text_ids=batch["text_ids"],
             deterministic=False,
             rngs={"dropout": drop_key, "stochdepth": depth_key},
             mutable=["moe_losses", "moe_metrics"])

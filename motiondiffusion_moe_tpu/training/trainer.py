@@ -108,25 +108,28 @@ class Trainer:
         ep = cfg.parallel.num_expert_partitions
         tp = cfg.parallel.num_model_partitions
         sp = cfg.parallel.num_seq_partitions
+        pp = cfg.parallel.num_pipeline_stages
         dp = cfg.parallel.num_data_partitions
         ndev = len(jax.devices())
         auto_dp = (dp == 0 and ndev > 1
                    and jax.default_backend() not in ("cpu",))
-        if ep <= 1 and tp <= 1 and sp <= 1 and dp <= 1 and not auto_dp:
+        if ep <= 1 and tp <= 1 and sp <= 1 and pp <= 1 and dp <= 1 \
+                and not auto_dp:
             return None
+        deg = ep * tp * sp * pp
         if dp == 0:
-            n = (ndev // (ep * tp * sp)) * ep * tp * sp
+            n = (ndev // deg) * deg
         else:
-            n = dp * ep * tp * sp
+            n = dp * deg
         assert n >= 1 and n <= ndev, (
             f"parallel config wants {n} devices (dp={dp} x sp={sp} x "
-            f"ep={ep} x tp={tp}), have {ndev}")
-        if cfg.train.batch_size % (n // (ep * tp * sp)) != 0:
+            f"pp={pp} x ep={ep} x tp={tp}), have {ndev}")
+        if cfg.train.batch_size % (n // deg) != 0:
             raise ValueError(
                 f"global batch {cfg.train.batch_size} not divisible by the "
-                f"data axis ({n // (ep * tp * sp)})")
+                f"data axis ({n // deg})")
         return make_mesh(n, expert_parallel=ep, tensor_parallel=tp,
-                         seq_parallel=sp)
+                         seq_parallel=sp, pipeline_parallel=pp)
 
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
