@@ -66,7 +66,9 @@ def _block_kwargs(cfg: ModelConfig, time_embed_dim: int, mesh, use_kernels,
         top_k=cfg.moe_top_k, capacity_factor=cfg.moe_capacity_factor,
         use_moe=cfg.use_moe, moe_compute=cfg.moe_compute,
         mesh=mesh,
-        use_fast_xattn=cfg.use_fast_xattn,
+        # the flash-xattn kernel is a pallas_call too — same SPMD-opacity
+        # as the Performer kernels, so it is disabled with them under SP
+        use_fast_xattn=cfg.use_fast_xattn and use_kernels,
         chunk_size=cfg.xattn_chunk_size,
         use_kernels=use_kernels,
         num_features=cfg.num_random_features, dtype=dtype)
@@ -352,7 +354,7 @@ class MotionTransformer(nn.Module):
         S = self.mesh.shape[PIPE_AXIS]
         M = cfg.pipeline_microbatches or 2 * S
         if deterministic:
-            stage = make_block_stage_fn(template, True)
+            stage = make_block_stage_fn(template, True, cfg.remat_blocks)
             xs = (survival,)
         else:
             # ONE whole-batch coin per block per forward (time.py:41-48),
@@ -362,10 +364,11 @@ class MotionTransformer(nn.Module):
                                          survival)
             keys = jax.random.split(self.make_rng("dropout"),
                                     (cfg.num_layers, M))
-            stage = make_block_stage_fn(template, False)
+            stage = make_block_stage_fn(template, False, cfg.remat_blocks)
             xs = (survival, coins, keys)
-        payload = {"h": h, "xf": xf, "emb": emb, "src_mask": src_mask}
-        out, aux = gpipe(stage, stacked, payload, self.mesh, M, xs)
+        context = {"xf": xf, "emb": emb, "src_mask": src_mask}
+        out, aux = gpipe(stage, stacked, {"h": h}, context, self.mesh,
+                         M, xs)
         _last = lambda prev, new: new  # noqa: E731
         _zero = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
         self.sow("moe_losses", f"pp_aux_{blocks.name}", aux,

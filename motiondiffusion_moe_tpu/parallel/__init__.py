@@ -1,6 +1,7 @@
 from motiondiffusion_moe_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     SEQ_AXIS,
+    PIPE_AXIS,
     EXPERT_AXIS,
     MODEL_AXIS,
     make_mesh,

@@ -5,9 +5,12 @@ The reference has no pipeline parallelism (its only distribution is DDP,
 construction for when the decoder stack outgrows one chip: the
 ``scan_blocks=True`` stacked [L, ...] block parameters are sharded into
 contiguous stages over 'pipe' (L/S consecutive blocks per device), the
-batch is split into M microbatches, and activations circulate stage ->
-stage with ``lax.ppermute`` over ICI inside a ``shard_map``. The schedule
-is plain GPipe: M + S - 1 ticks, bubble fraction (S-1)/(M+S-1).
+batch is split into M microbatches, and hidden-state activations circulate
+stage -> stage with ``lax.ppermute`` over ICI inside a ``shard_map``. Only
+the hidden state rides the ring; per-microbatch conditioning (text tokens,
+fused embedding, masks) is read locally from the already-present
+microbatch buffer. The schedule is plain GPipe: M + S - 1 ticks, bubble
+fraction (S-1)/(M+S-1).
 
 Composition: 'pipe' x 'data' (microbatches are additionally sharded over
 'data' inside the body). EP/TP/SP do not compose with PP here — the body
@@ -20,6 +23,13 @@ what a pipeline stage is).
 Differentiable end-to-end: the transpose of ``ppermute`` is the reverse
 ring and the transpose of the tick ``scan`` runs the schedule backwards,
 so ``jax.grad`` of a pipelined loss IS backward pipelining.
+
+KNOWN APPROXIMATION: the MoE Switch aux loss is a product of per-batch
+means (``moe.py: switch_aux_loss``), so the mean over M microbatches is
+not bit-equal to the full-batch value for M > 1 (the denoiser OUTPUT is
+bit-equal; only this auxiliary load-balancing term differs). Same class of
+approximation every microbatched trainer makes; documented here and in
+the README.
 """
 
 from __future__ import annotations
@@ -32,11 +42,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from motiondiffusion_moe_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
 
-# stage_fn(stage_params, payload, stage_xs, mb_index) -> (payload, aux)
-StageFn = Callable[[Any, Any, Any, jnp.ndarray], Tuple[Any, jnp.ndarray]]
+# stage_fn(stage_params, ring, context_mb, stage_xs, mb_index)
+#   -> (ring, aux)
+StageFn = Callable[..., Tuple[Any, jnp.ndarray]]
 
 
-def gpipe(stage_fn: StageFn, stacked_params: Any, payload: Any,
+def gpipe(stage_fn: StageFn, stacked_params: Any, ring: Any, context: Any,
           mesh: Mesh, num_microbatches: int,
           per_layer_xs: Any = ()) -> Tuple[Any, jnp.ndarray]:
     """Run ``stage_fn`` through an S-stage GPipe ring.
@@ -44,43 +55,50 @@ def gpipe(stage_fn: StageFn, stacked_params: Any, payload: Any,
     - ``stacked_params``: pytree with a leading [L] layer axis on every
       leaf (the ``scan_blocks`` layout), L divisible by
       S = mesh.shape['pipe']; sharded into contiguous stages.
-    - ``payload``: pytree of [B, ...] arrays the blocks consume and
-      produce (hidden state + per-example conditioning). B divisible by
-      ``num_microbatches`` (and each microbatch by the 'data' axis).
+    - ``ring``: pytree of [B, ...] arrays that circulate stage -> stage
+      (the hidden state). B divisible by ``num_microbatches`` (and each
+      microbatch by the 'data' axis).
+    - ``context``: pytree of [B, ...] arrays the blocks read but never
+      write (conditioning); microbatched and read locally per tick — NOT
+      circulated.
     - ``per_layer_xs``: pytree with a leading [L] axis (stochastic-depth
-      coins, survival probs, per-layer rng keys), handed to ``stage_fn``
-      sliced to the local stage.
+      coins, survival probs, per-layer rng keys), sliced to the local
+      stage.
 
-    Returns ``(payload_out, aux)``: the payload after all L blocks in
-    order, and the sum of ``stage_fn``'s scalar aux over all real
-    (non-bubble) stage x microbatch computations, averaged over
-    microbatches — the PP equivalent of the full-batch MoE aux loss.
+    Returns ``(ring_out, aux)``: the ring after all L blocks in order,
+    and ``stage_fn``'s scalar aux summed over all real (non-bubble)
+    stage x microbatch computations, averaged over microbatches and over
+    the 'data' axis — the PP estimate of the full-batch MoE aux loss
+    (see module docstring for the microbatching approximation).
     """
     S = mesh.shape[PIPE_AXIS]
     M = num_microbatches
-    B = jax.tree_util.tree_leaves(payload)[0].shape[0]
+    B = jax.tree_util.tree_leaves(ring)[0].shape[0]
     assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
 
-    mb = jax.tree.map(lambda a: a.reshape(M, B // M, *a.shape[1:]), payload)
+    as_mb = lambda a: a.reshape(M, B // M, *a.shape[1:])  # noqa: E731
+    ring_mb = jax.tree.map(as_mb, ring)
+    ctx_mb = jax.tree.map(as_mb, context)
 
-    def body(params_local, xs_local, mb_local):
+    def body(params_local, xs_local, ring_local, ctx_local):
         r = jax.lax.axis_index(PIPE_AXIS)
         # seed the ring with REAL data (microbatch 0), not zeros: bubble
         # computations are discarded, but their grads still flow as
         # 0-cotangent chains — and a zero hidden state hits d||x||/dx at
         # x=0 (NaN), which 0 * NaN would propagate into the param grads
-        state = jax.tree.map(lambda a: a[0], mb_local)
-        outs = jax.tree.map(jnp.zeros_like, mb_local)
+        state = jax.tree.map(lambda a: a[0], ring_local)
+        outs = jax.tree.map(jnp.zeros_like, ring_local)
 
         def tick(carry, t):
             state, outs, aux_sum = carry
-            # stage r works on microbatch m = t - r (clipped during bubble)
+            # stage r works on microbatch m = t - r (clipped in bubbles)
             m = jnp.clip(t - r, 0, M - 1)
             fresh = jax.tree.map(lambda a: a[jnp.clip(t, 0, M - 1)],
-                                 mb_local)
+                                 ring_local)
             cur = jax.tree.map(lambda f, s: jnp.where(r == 0, f, s),
                                fresh, state)
-            y, aux = stage_fn(params_local, cur, xs_local, m)
+            ctx = jax.tree.map(lambda a: a[m], ctx_local)
+            y, aux = stage_fn(params_local, cur, ctx, xs_local, m)
             # real work iff r <= t < r + M (GPipe bubble elsewhere)
             valid = jnp.logical_and(r <= t, t < r + M)
             aux_sum = aux_sum + jnp.where(valid, aux, 0.0)
@@ -99,32 +117,42 @@ def gpipe(stage_fn: StageFn, stacked_params: Any, payload: Any,
             tick, (state, outs, jnp.zeros((), jnp.float32)),
             jnp.arange(M + S - 1))
         # replicate the last stage's outputs to every pipe rank (everything
-        # after the stack runs replicated over 'pipe'); sum stage aux
+        # after the stack runs replicated over 'pipe')
         outs = jax.tree.map(
             lambda o: jax.lax.psum(
                 jnp.where(r == S - 1, o, jnp.zeros_like(o)), PIPE_AXIS),
             outs)
+        # stage aux values live on different ranks (sum the ring) and each
+        # data shard saw only its local tokens (mean over 'data' — the
+        # SPMD paths get the same reduction from XLA's partitioned means)
         aux_sum = jax.lax.psum(aux_sum, PIPE_AXIS)
+        aux_sum = jax.lax.pmean(aux_sum, DATA_AXIS)
         return outs, aux_sum
 
     out_mb, aux = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(PIPE_AXIS), P(PIPE_AXIS), P(None, DATA_AXIS)),
+        in_specs=(P(PIPE_AXIS), P(PIPE_AXIS),
+                  P(None, DATA_AXIS), P(None, DATA_AXIS)),
         out_specs=(P(None, DATA_AXIS), P()),
         check_vma=False,
-    )(stacked_params, per_layer_xs, mb)
+    )(stacked_params, per_layer_xs, ring_mb, ctx_mb)
     out = jax.tree.map(lambda a: a.reshape(B, *a.shape[2:]), out_mb)
     return out, aux / M
 
 
-def make_block_stage_fn(block_template, deterministic: bool) -> StageFn:
+def make_block_stage_fn(block_template, deterministic: bool,
+                        remat_policy: str = "") -> StageFn:
     """StageFn running this stage's slice of decoder blocks sequentially.
 
     ``block_template``: an UNBOUND ``MoEDecoderLayer`` (from
     ``models.transformer._block_kwargs``), applied functionally per layer
-    with ``{"params": layer_params}``. Payload dict: ``h`` (hidden state)
-    plus the conditioning ``xf``, ``emb``, ``src_mask`` every block reads
-    unchanged.
+    with ``{"params": layer_params}``. Ring: ``{"h": hidden}``; context:
+    ``xf``, ``emb``, ``src_mask`` read per microbatch.
+
+    ``remat_policy``: ModelConfig.remat_blocks name — wraps each block
+    apply in ``jax.checkpoint`` so the PP backward recomputes per the same
+    policy as the non-PP layouts (otherwise every tick's intermediates are
+    stored — exactly the memory PP exists to save).
 
     Per-layer xs — deterministic: ``(survival,)``; training:
     ``(survival, coins, keys)``:
@@ -132,38 +160,50 @@ def make_block_stage_fn(block_template, deterministic: bool) -> StageFn:
     - ``coins`` [L] bool — the whole-batch stochastic-depth coin per block
       (reference ``time.py:41-48``: ONE coin per block per forward, shared
       by every microbatch),
-    - ``keys`` [L, M] rng keys for block dropout (folded per microbatch).
+    - ``keys`` [L, M] rng keys for block dropout (per layer x microbatch).
 
     Sown MoE aux losses are summed into the scalar aux output; expert
     metrics are discarded in the PP path.
     """
     from motiondiffusion_moe_tpu.models.transformer import (
-        sum_moe_aux_losses)
+        _remat_policy, sum_moe_aux_losses)
 
-    def stage_fn(params_local, payload, xs_local, m):
+    def _apply_det(p_layer, h, xf, emb, src_mask):
+        return block_template.apply(
+            {"params": p_layer}, h, xf, emb, src_mask, True,
+            mutable=["moe_losses", "moe_metrics"])
+
+    def _apply_train(p_layer, h, xf, emb, src_mask, key):
+        return block_template.apply(
+            {"params": p_layer}, h, xf, emb, src_mask, False,
+            rngs={"dropout": key},
+            mutable=["moe_losses", "moe_metrics"])
+
+    apply_det, apply_train = _apply_det, _apply_train
+    if remat_policy:
+        policy = _remat_policy(remat_policy)
+        apply_det = jax.checkpoint(_apply_det, policy=policy)
+        apply_train = jax.checkpoint(_apply_train, policy=policy)
+
+    def stage_fn(params_local, ring, ctx, xs_local, m):
         def one_layer(carry, layer):
             h, aux = carry
             if deterministic:
                 p_layer, _ = layer
-                out, cols = block_template.apply(
-                    {"params": p_layer}, h, payload["xf"], payload["emb"],
-                    payload["src_mask"], True,
-                    mutable=["moe_losses", "moe_metrics"])
+                out, cols = apply_det(p_layer, h, ctx["xf"], ctx["emb"],
+                                      ctx["src_mask"])
             else:
                 p_layer, (surv, keep, key_row) = layer
-                out, cols = block_template.apply(
-                    {"params": p_layer}, h, payload["xf"], payload["emb"],
-                    payload["src_mask"], False,
-                    rngs={"dropout": key_row[m]},
-                    mutable=["moe_losses", "moe_metrics"])
+                out, cols = apply_train(p_layer, h, ctx["xf"], ctx["emb"],
+                                        ctx["src_mask"], key_row[m])
                 # branchless stochastic depth (no-op when p>=1 or kept)
                 out = jnp.where(jnp.logical_or(keep, surv >= 1.0), out, h)
             aux = aux + sum_moe_aux_losses(cols)
             return (out, aux), None
 
         (h, aux), _ = jax.lax.scan(
-            one_layer, (payload["h"], jnp.zeros((), jnp.float32)),
+            one_layer, (ring["h"], jnp.zeros((), jnp.float32)),
             (params_local, xs_local))
-        return dict(payload, h=h), aux
+        return dict(ring, h=h), aux
 
     return stage_fn

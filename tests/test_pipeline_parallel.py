@@ -45,11 +45,11 @@ class TestGpipeUnit:
         w = jnp.asarray(rng.standard_normal((L, D, D)).astype(np.float32))
         x = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
 
-        def stage_fn(w_local, payload, xs_local, m):
+        def stage_fn(w_local, ring, ctx, xs_local, m):
             def one(carry, wl):
                 return jnp.tanh(carry @ wl), None
-            h, _ = jax.lax.scan(one, payload["h"], w_local)
-            return dict(payload, h=h), jnp.zeros((), jnp.float32)
+            h, _ = jax.lax.scan(one, ring["h"], w_local)
+            return dict(ring, h=h), jnp.zeros((), jnp.float32)
 
         # sequential reference
         ref = x
@@ -57,7 +57,7 @@ class TestGpipeUnit:
             ref = jnp.tanh(ref @ w[l])
 
         mesh = make_mesh(S, pipeline_parallel=S)  # data=1
-        out, aux = gpipe(stage_fn, w, {"h": x}, mesh, M)
+        out, aux = gpipe(stage_fn, w, {"h": x}, {}, mesh, M)
         np.testing.assert_allclose(np.asarray(out["h"]), np.asarray(ref),
                                    atol=1e-6)
         assert float(aux) == 0.0
@@ -75,22 +75,76 @@ class TestGpipeUnit:
                 h = jnp.tanh(h @ w[l])
             return jnp.sum(h ** 2)
 
-        def stage_fn(w_local, payload, xs_local, m):
+        def stage_fn(w_local, ring, ctx, xs_local, m):
             def one(carry, wl):
                 return jnp.tanh(carry @ wl), None
-            h, _ = jax.lax.scan(one, payload["h"], w_local)
-            return dict(payload, h=h), jnp.zeros((), jnp.float32)
+            h, _ = jax.lax.scan(one, ring["h"], w_local)
+            return dict(ring, h=h), jnp.zeros((), jnp.float32)
 
         mesh = make_mesh(S, pipeline_parallel=S)
 
         def pp_loss(w):
-            out, _ = gpipe(stage_fn, w, {"h": x}, mesh, M)
+            out, _ = gpipe(stage_fn, w, {"h": x}, {}, mesh, M)
             return jnp.sum(out["h"] ** 2)
 
         g_ref = jax.grad(seq_loss)(w)
         g_pp = jax.jit(jax.grad(pp_loss))(w)
         np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_ref),
                                    atol=1e-5)
+
+    def test_aux_reduces_over_data_axis(self):
+        """DP x PP: the aux returned by gpipe is the mean over the FULL
+        microbatch (pmean over 'data'), not data-shard-0's local value —
+        regression for the silently-unreduced P() out-spec."""
+        L, B, D, S, M = 2, 8, 4, 2, 2
+        rng = np.random.default_rng(2)
+        w = jnp.asarray(rng.standard_normal((L, D, D)).astype(np.float32))
+        # strongly asymmetric across the batch so data shards differ
+        x = jnp.asarray(
+            (rng.standard_normal((B, D)) + np.arange(B)[:, None])
+            .astype(np.float32))
+
+        def stage_fn(w_local, ring, ctx, xs_local, m):
+            def one(carry, wl):
+                return jnp.tanh(carry @ wl), None
+            h, _ = jax.lax.scan(one, ring["h"], w_local)
+            # data-dependent aux: mean of the stage output
+            return dict(ring, h=h), jnp.mean(h)
+
+        # sequential expected value: per microbatch, per stage, the mean
+        # over the FULL microbatch; summed over stages, averaged over M
+        Lloc = L // S
+        expected = 0.0
+        for m in range(M):
+            h = x.reshape(M, B // M, D)[m]
+            for s in range(S):
+                for l in range(s * Lloc, (s + 1) * Lloc):
+                    h = jnp.tanh(h @ w[l])
+                expected += float(jnp.mean(h))
+        expected /= M
+
+        mesh = make_mesh(4, pipeline_parallel=S)  # data=2 x pipe=2
+        _, aux = gpipe(stage_fn, w, {"h": x}, {}, mesh, M)
+        assert float(aux) == pytest.approx(expected, rel=1e-5)
+
+    def test_context_not_circulated(self):
+        """Context (conditioning) is read per microbatch, not ringed: the
+        stage must see the SAME microbatch's context as its ring data."""
+        L, B, D, S, M = 2, 8, 4, 2, 4
+        w = jnp.zeros((L, D, D), jnp.float32)
+        x = jnp.tile(jnp.arange(M, dtype=jnp.float32).repeat(B // M)
+                     [:, None], (1, D))  # microbatch m filled with m
+
+        def stage_fn(w_local, ring, ctx, xs_local, m):
+            # h' = h + ctx; ctx equals the microbatch id, so after S
+            # stages h = id * (1 + S) iff context tracked the ring
+            return dict(ring, h=ring["h"] + ctx["c"]), jnp.zeros(
+                (), jnp.float32)
+
+        mesh = make_mesh(S, pipeline_parallel=S)
+        out, _ = gpipe(stage_fn, w, {"h": x}, {"c": x}, mesh, M)
+        np.testing.assert_allclose(np.asarray(out["h"]),
+                                   np.asarray(x * (1 + S)), atol=0)
 
 
 class TestPPValidation:
@@ -148,6 +202,26 @@ class TestPPForward:
 
 
 class TestPPTraining:
+    @pytest.mark.slow
+    def test_pp_with_remat_trains(self):
+        """remat_blocks applies inside the ring (jax.checkpoint around each
+        block apply): the pipelined step still runs and the loss moves."""
+        cfg = _scan_cfg(4)
+        cfg = replace(cfg, model=replace(cfg.model, pipeline_microbatches=2,
+                                         remat_blocks="dots"))
+        sched = make_schedule(schedule_name="linear", num_timesteps=100)
+        mesh = make_mesh(4, pipeline_parallel=2)
+        model = MotionTransformer(config=cfg.model, mesh=mesh)
+        state = create_train_state(model, cfg, jax.random.key(0))
+        raw = make_train_step(model, sched, cfg, jit=False)
+        with mesh:
+            step, sstate = make_sharded_train_step(raw, state, mesh)
+            batch = shard_batch(make_batch(4), mesh)
+            s1, m1 = step(sstate, batch, jax.random.key(1))
+            s2, m2 = step(s1, batch, jax.random.key(2))
+        l1, l2 = float(m1["loss_total"]), float(m2["loss_total"])
+        assert np.isfinite(l1) and np.isfinite(l2) and l1 != l2
+
     @pytest.mark.slow
     def test_train_step_matches_single_device(self):
         """DP x PP train step: same loss, same updated params as the
