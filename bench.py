@@ -85,6 +85,12 @@ def _run():
     if remat:
         from dataclasses import replace
         cfg = replace(cfg, model=replace(cfg.model, remat_blocks=remat))
+    # A/B knob for the nn.scan stacked-block layout (ModelConfig.
+    # scan_blocks): ~Lx smaller traced program — measures the compile-time
+    # win and any runtime delta from the scan's fusion boundaries
+    if os.environ.get("BENCH_SCAN_BLOCKS", "0") == "1":
+        from dataclasses import replace
+        cfg = replace(cfg, model=replace(cfg.model, scan_blocks=True))
     run_sampler = os.environ.get("BENCH_SAMPLER", "1") != "0"
 
     model = MotionTransformer(config=cfg.model)

@@ -40,6 +40,7 @@ def _routing_indices(dtype, x, gate_kernel, gate_bias):
 
 
 class TestMoERoutingBf16:
+    @pytest.mark.slow
     def test_topk_flip_rate_under_bf16_gate(self):
         """bf16 gate logits must agree with f32 on almost all tokens.
 

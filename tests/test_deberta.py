@@ -143,6 +143,7 @@ class TestHFNumericalParity:
 
 
 class TestHFConversion:
+    @pytest.mark.slow
     def test_convert_torch_layout(self):
         """Round-trip: build a fake HF state_dict with the right keys and
         confirm the converted tree loads and runs."""

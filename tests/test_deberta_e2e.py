@@ -76,6 +76,7 @@ def _tiny_deberta_cfg(ckpt: str = "") -> ExperimentConfig:
 
 
 class TestGraft:
+    @pytest.mark.slow
     def test_graft_bit_identical_into_train_state(self, tmp_path):
         """Trainer.init_state must carry the converted HF weights into the
         params/text_encoder/bert subtree bit-for-bit."""
@@ -101,6 +102,7 @@ class TestGraft:
                 np.asarray(flat_e[k], dtype=np.asarray(flat_g[k]).dtype),
                 err_msg="/".join(k))
 
+    @pytest.mark.slow
     def test_no_ckpt_warns_and_random_inits(self):
         from motiondiffusion_moe_tpu.training import Trainer
 

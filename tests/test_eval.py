@@ -249,6 +249,7 @@ class TestFinestTarConverter:
 
 
 class TestEvaluatorWrapper:
+    @pytest.mark.slow
     def test_embeddings_shapes(self):
         w = EvaluatorModelWrapper(dim_pose=263)
         B, T = 3, 32

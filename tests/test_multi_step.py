@@ -54,6 +54,7 @@ def _batch(i, B=4):
     }
 
 
+@pytest.mark.slow
 def test_multi_step_matches_sequential():
     cfg = _cfg(uncond_step=False)
     model = MotionTransformer(config=cfg.model)

@@ -72,6 +72,7 @@ class TestGenerationPipeline:
         assert outs[0].shape == (16, 26)
         assert np.isfinite(outs[0]).all()
 
+    @pytest.mark.slow
     def test_bf16_serving_params_drift(self, trained):
         """param_dtype="bfloat16" (weights stored bf16 for serving) must
         produce motions close to the f32-weight sampler — the measured

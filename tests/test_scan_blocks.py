@@ -39,6 +39,7 @@ def _two_layer_cfg(batch: int):
 
 
 class TestLayoutConverters:
+    @pytest.mark.slow
     def test_stack_unstack_roundtrip(self):
         cfg = _two_layer_cfg(2)
         model = MotionTransformer(config=cfg.model)

@@ -64,6 +64,7 @@ class TestSeqMesh:
         # the model must carry the mesh so its seq constraints activate
         assert tr.model.mesh is tr.mesh
 
+    @pytest.mark.slow
     def test_model_disables_kernels_under_seq(self):
         cfg = tiny_cfg(4)
         # data=2 so the B=2 init batch divides the data axis
