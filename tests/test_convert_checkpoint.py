@@ -78,6 +78,7 @@ def test_convert_roundtrip_and_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_rejects_same_layout(tmp_path):
     from motiondiffusion_moe_tpu.tools.convert_checkpoint import main as conv
     run = _train_tiny(tmp_path, "same")

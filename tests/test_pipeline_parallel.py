@@ -201,6 +201,42 @@ class TestPPForward:
                                    atol=2e-5, rtol=1e-5)
 
 
+class TestPPServing:
+    @pytest.mark.slow
+    def test_pipeline_pp_mesh_matches_single_device(self):
+        """GenerationPipeline with a (data, pipe) mesh — pipeline-parallel
+        SERVING through the public API — reproduces the single-device
+        motions."""
+        from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
+
+        cfg = _scan_cfg(8)
+        cfg = replace(cfg, model=replace(cfg.model, pipeline_microbatches=2))
+        ref_model = MotionTransformer(config=cfg.model)
+        b = make_batch(2)
+        params = ref_model.init({"params": jax.random.key(0)}, b["motion"],
+                                b["t"], b["length"],
+                                text_ids=b["text_ids"])
+
+        caps = ["a person walks"] * 8
+        lens = [16] * 8
+        pipe_ref = GenerationPipeline(cfg, ref_model, params, sampler="ddim",
+                                      num_inference_steps=10, micro_batch=8)
+        ref = pipe_ref.generate(caps, lens, rng=jax.random.key(5))
+
+        # model=None: the pipeline builds MotionTransformer(mesh=mesh)
+        # itself, so the GPipe ring actually engages
+        mesh = make_mesh(4, pipeline_parallel=2)  # data=2 x pipe=2
+        pipe_pp = GenerationPipeline(cfg, None, params, sampler="ddim",
+                                     num_inference_steps=10, micro_batch=8,
+                                     mesh=mesh)
+        out = pipe_pp.generate(caps, lens, rng=jax.random.key(5))
+
+        assert len(out) == len(ref)
+        for a, b2 in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       atol=2e-4)
+
+
 class TestPPTraining:
     @pytest.mark.slow
     def test_pp_with_remat_trains(self):
