@@ -108,6 +108,34 @@ class TestSeqShardedForward:
                                    atol=2e-5, rtol=1e-5)
 
 
+class TestSeqActuallyPartitions:
+    @pytest.mark.slow
+    def test_compiled_program_contains_collectives(self):
+        """Guard against silent replication: the OPTIMIZED HLO of the
+        seq-sharded forward must contain cross-device collectives (the
+        Performer kv-moment all-reduce over 'seq' / EP resharding) — a
+        partitioner that replicated everything would emit none."""
+        import re
+
+        cfg = tiny_cfg(4)
+        batch = make_batch(4)
+        x, t, length, ids = (batch["motion"], batch["t"], batch["length"],
+                             batch["text_ids"])
+        mesh = make_mesh(8, seq_parallel=2, expert_parallel=2)
+        model = MotionTransformer(config=cfg.model, mesh=mesh)
+        params = model.init({"params": jax.random.key(0)}, x, t, length,
+                            text_ids=ids)
+        with mesh:
+            txt = jax.jit(lambda p: model.apply(
+                p, x, t, length, text_ids=ids,
+                mutable=["moe_losses", "moe_metrics"])[0]
+            ).lower(params).compile().as_text()
+        n_ar = len(re.findall(r"\ball-reduce", txt))
+        n_ag = len(re.findall(r"\ball-gather", txt))
+        assert n_ar > 0, "no all-reduce in the seq-sharded program"
+        assert n_ar + n_ag >= 2, (n_ar, n_ag)
+
+
 class TestSeqShardedTraining:
     @pytest.mark.slow
     def test_train_step_matches_single_device(self):
