@@ -91,22 +91,21 @@ def _run():
         _log("TPU backend unavailable - degraded CPU fallback "
              f"(batch={batch} steps={steps} layers={layers} reps={reps})")
 
+    from dataclasses import replace
+
     cfg = ExperimentConfig.moe_small()
     if layers != cfg.model.num_layers:
-        from dataclasses import replace
         cfg = replace(cfg, model=replace(cfg.model, num_layers=layers))
     # A/B knob for per-block rematerialization in the TRAIN diag (the
     # sampler has no backward; remat only changes the training program):
     # BENCH_REMAT=dots|dots_named|all (see ModelConfig.remat_blocks)
     remat = os.environ.get("BENCH_REMAT")
     if remat:
-        from dataclasses import replace
         cfg = replace(cfg, model=replace(cfg.model, remat_blocks=remat))
     # A/B knob for the nn.scan stacked-block layout (ModelConfig.
     # scan_blocks): ~Lx smaller traced program — measures the compile-time
     # win and any runtime delta from the scan's fusion boundaries
     if os.environ.get("BENCH_SCAN_BLOCKS", "0") == "1":
-        from dataclasses import replace
         cfg = replace(cfg, model=replace(cfg.model, scan_blocks=True))
     run_sampler = os.environ.get("BENCH_SAMPLER", "1") != "0"
 
@@ -171,9 +170,12 @@ def _run():
                        "motions/sec (DEGRADED CPU FALLBACK - TPU tunnel "
                        f"unreachable; {steps}-step, {layers}-layer)"),
             "value": round(motions_per_sec, 4),
-            "unit": "motions/s/chip",
-            "vs_baseline": round(motions_per_sec / BASELINE_MOTIONS_PER_SEC,
-                                 4),
+            # the degraded CPU run is not per-chip and not comparable to
+            # the TPU baseline: don't emit a meaningless ratio
+            "unit": ("motions/s/chip" if not cpu_fallback
+                     else "motions/s (CPU, degraded)"),
+            "vs_baseline": (round(motions_per_sec / BASELINE_MOTIONS_PER_SEC,
+                                  4) if not cpu_fallback else 0.0),
         }
         diag = (f"# compile={compile_s:.1f}s run={elapsed:.2f}s batch={B} "
                 f"steps={steps} layers={layers} "

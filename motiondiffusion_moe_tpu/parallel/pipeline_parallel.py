@@ -25,9 +25,11 @@ ring and the transpose of the tick ``scan`` runs the schedule backwards,
 so ``jax.grad`` of a pipelined loss IS backward pipelining.
 
 KNOWN APPROXIMATION: the MoE Switch aux loss is a product of per-batch
-means (``moe.py: switch_aux_loss``), so the mean over M microbatches is
-not bit-equal to the full-batch value for M > 1 (the denoiser OUTPUT is
-bit-equal; only this auxiliary load-balancing term differs). Same class of
+means (``moe.py: switch_aux_loss``), so averaging it over M microbatches
+— and, under DP x PP, pmean-ing the per-data-shard values (a mean of
+products, where the SPMD paths compute the product of global means) — is
+not bit-equal to the full-batch value (the denoiser OUTPUT is bit-equal;
+only this auxiliary load-balancing term differs). Same class of
 approximation every microbatched trainer makes; documented here and in
 the README.
 """
@@ -123,8 +125,9 @@ def gpipe(stage_fn: StageFn, stacked_params: Any, ring: Any, context: Any,
                 jnp.where(r == S - 1, o, jnp.zeros_like(o)), PIPE_AXIS),
             outs)
         # stage aux values live on different ranks (sum the ring) and each
-        # data shard saw only its local tokens (mean over 'data' — the
-        # SPMD paths get the same reduction from XLA's partitioned means)
+        # data shard saw only its local tokens (mean over 'data'; for the
+        # nonlinear Switch aux this is a mean of per-shard products — see
+        # the module docstring's approximation note)
         aux_sum = jax.lax.psum(aux_sum, PIPE_AXIS)
         aux_sum = jax.lax.pmean(aux_sum, DATA_AXIS)
         return outs, aux_sum
@@ -174,6 +177,11 @@ def make_block_stage_fn(block_template, deterministic: bool,
             mutable=["moe_losses", "moe_metrics"])
 
     def _apply_train(p_layer, h, xf, emb, src_mask, key):
+        # decorrelate dropout across data shards: the [L, M] keys are
+        # generated outside the shard_map, so without this fold every
+        # data shard would draw the SAME mask pattern (the SPMD paths
+        # draw one mask over the global batch instead)
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
         return block_template.apply(
             {"params": p_layer}, h, xf, emb, src_mask, False,
             rngs={"dropout": key},

@@ -168,11 +168,34 @@ class TestPPValidation:
 
     def test_trainer_builds_pp_mesh(self):
         from motiondiffusion_moe_tpu.training.trainer import Trainer
-        cfg = _scan_cfg(4)
-        cfg = replace(cfg, parallel=ParallelConfig(num_pipeline_stages=2))
+        # 8 devices, pp=2 -> data axis 4; batch 16 / M=2 -> microbatch 8,
+        # divisible by the data axis
+        cfg = _scan_cfg(16)
+        cfg = replace(cfg,
+                      model=replace(cfg.model, pipeline_microbatches=2),
+                      parallel=ParallelConfig(num_pipeline_stages=2))
         tr = Trainer(cfg)
         assert tr.mesh is not None
         assert tr.mesh.shape[PIPE_AXIS] == 2
+
+    def test_trainer_rejects_indivisible_microbatches(self):
+        """PP misconfiguration fails at Trainer construction with a clear
+        message, not inside the first jitted step's shard_map."""
+        from motiondiffusion_moe_tpu.training.trainer import Trainer
+        # batch 4 / default M=4 -> microbatch 1, NOT divisible by data=4
+        cfg = _scan_cfg(4)
+        cfg = replace(cfg, parallel=ParallelConfig(num_pipeline_stages=2))
+        with pytest.raises(ValueError, match="pipeline_microbatches"):
+            Trainer(cfg)
+
+    def test_pipeline_rejects_indivisible_microbatches(self):
+        from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
+        cfg = _scan_cfg(8)
+        cfg = replace(cfg, model=replace(cfg.model,
+                                         pipeline_microbatches=16))
+        mesh = make_mesh(4, pipeline_parallel=2)
+        with pytest.raises(ValueError, match="CFG-doubled"):
+            GenerationPipeline(cfg, None, None, micro_batch=4, mesh=mesh)
 
 
 class TestPPForward:
