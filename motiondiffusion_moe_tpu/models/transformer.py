@@ -341,7 +341,7 @@ class MotionTransformer(nn.Module):
         the (already-initialized) scan stack and applies them functionally
         stage by stage."""
         from motiondiffusion_moe_tpu.parallel.pipeline_parallel import (
-            gpipe, make_block_stage_fn)
+            gpipe, make_block_stage_fn, pp_num_microbatches)
 
         cfg = self.config
         stacked = blocks.variables["params"]["block"]
@@ -352,7 +352,7 @@ class MotionTransformer(nn.Module):
             cfg, self.time_embed_dim, None, True, self._dtype),
             parent=None)
         S = self.mesh.shape[PIPE_AXIS]
-        M = cfg.pipeline_microbatches or 2 * S
+        M = pp_num_microbatches(cfg.pipeline_microbatches, S)
         if deterministic:
             stage = make_block_stage_fn(template, True, cfg.remat_blocks)
             xs = (survival,)

@@ -49,6 +49,40 @@ from motiondiffusion_moe_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
 StageFn = Callable[..., Tuple[Any, jnp.ndarray]]
 
 
+def pp_num_microbatches(pipeline_microbatches: int, pp: int) -> int:
+    """The microbatch count M the GPipe path actually uses
+    (``transformer._run_blocks_pp``): the config value, defaulting to
+    2*S (bubble fraction (S-1)/(M+S-1) = ~33% at M=2S)."""
+    return pipeline_microbatches or 2 * pp
+
+
+def validate_pp_layout(mesh: Mesh, num_layers: int, batch: int,
+                       pipeline_microbatches: int,
+                       batch_desc: str = "global batch",
+                       fix_hint: str = "") -> None:
+    """Raise early (at Trainer/GenerationPipeline construction) when a PP
+    config cannot satisfy the GPipe ring's static layout, instead of the
+    opaque shard_map error the first jitted step would produce. The single
+    source of truth for the preconditions ``gpipe`` + the stacked [L, ...]
+    param sharding impose: L % S == 0, B % M == 0, (B/M) % dp == 0."""
+    pp = mesh.shape.get(PIPE_AXIS, 1)
+    if pp <= 1:
+        return
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    M = pp_num_microbatches(pipeline_microbatches, pp)
+    if num_layers % pp != 0:
+        raise ValueError(
+            f"pipeline parallelism: num_layers={num_layers} must be "
+            f"divisible by the '{PIPE_AXIS}' mesh axis ({pp}) — stacked "
+            f"[L, ...] block params shard into contiguous stages"
+            f"{fix_hint}")
+    if batch % M != 0 or (batch // M) % dp != 0:
+        raise ValueError(
+            f"pipeline parallelism: {batch_desc} ({batch}) must split "
+            f"into pipeline_microbatches={M} microbatches whose size "
+            f"divides the '{DATA_AXIS}' mesh axis ({dp}){fix_hint}")
+
+
 def gpipe(stage_fn: StageFn, stacked_params: Any, ring: Any, context: Any,
           mesh: Mesh, num_microbatches: int,
           per_layer_xs: Any = ()) -> Tuple[Any, jnp.ndarray]:

@@ -68,18 +68,15 @@ class GenerationPipeline:
             assert micro_batch % dp == 0, (
                 f"micro_batch {micro_batch} not divisible by the mesh data "
                 f"axis ({dp})")
-            pp = mesh.shape.get("pipe", 1)
-            if pp > 1:
-                # the sample fn CFG-doubles the batch before the GPipe
-                # ring microbatches it; fail here, not inside shard_map
-                M = cfg.model.pipeline_microbatches or 2 * pp
-                B2 = 2 * micro_batch
-                if B2 % M != 0 or (B2 // M) % dp != 0:
-                    raise ValueError(
-                        f"pipeline parallelism: CFG-doubled micro_batch "
-                        f"({B2}) must divide into pipeline_microbatches "
-                        f"({M}) and each microbatch into the data axis "
-                        f"({dp})")
+            from motiondiffusion_moe_tpu.parallel.pipeline_parallel import (
+                validate_pp_layout)
+            # the sample fn CFG-doubles the batch before the GPipe ring
+            # microbatches it; fail here, not inside shard_map
+            validate_pp_layout(
+                mesh, cfg.model.num_layers, 2 * micro_batch,
+                cfg.model.pipeline_microbatches,
+                batch_desc="CFG-doubled micro_batch",
+                fix_hint="; adjust micro_batch or pipeline_microbatches")
         # serving weight precision: "bfloat16" stores the float32 weights
         # as bf16 on device, halving the per-step weight-read traffic of
         # the sampler (every denoiser weight is read once per diffusion

@@ -17,8 +17,14 @@ Usage::
         --run_dir checkpoints/my_run --to stacked [--out <dir>] [--step N]
 
 The output directory gets a converted ``config.json`` (``scan_blocks``
-flipped) plus the converted checkpoint — i.e. a run directory
-``tools/train.py --resume`` can pick up directly.
+flipped), a copy of the run's ``meta/`` (normalizer stats), and the
+converted checkpoint — a run directory ``tools/evaluate.py`` /
+``tools/visualize.py`` accept via ``--run_dir`` as-is. To RESUME TRAINING
+from it, re-run ``tools/train.py --run_dir <out>`` with the original
+flags ADJUSTED to the new layout (``--scan_blocks`` added or dropped):
+train.py rewrites ``config.json`` from its CLI args, so the flags must
+describe the converted layout or the orbax restore template will not
+match the checkpoint.
 """
 
 from __future__ import annotations
@@ -117,6 +123,13 @@ def main(argv=None) -> None:
     out_dir = args.out or (args.run_dir.rstrip("/") + f"_{args.to}")
     os.makedirs(out_dir, exist_ok=True)
     new_cfg.save(os.path.join(out_dir, "config.json"))
+    # the run's meta/ (normalizer stats) must ride along: evaluate.py /
+    # visualize.py fall back to an identity normalizer when it is absent
+    meta_src = os.path.join(args.run_dir, "meta")
+    if os.path.isdir(meta_src):
+        import shutil
+        shutil.copytree(meta_src, os.path.join(out_dir, "meta"),
+                        dirs_exist_ok=True)
     out_mngr = CheckpointManager(os.path.join(out_dir, "ckpt"))
     out_mngr.save(step, new_state, epoch, rng=rng)
     out_mngr.wait()

@@ -187,7 +187,9 @@ def main(argv=None) -> None:
     else:
         dataset = Text2MotionDataset(cfg.data, split="train",
                                      seed=cfg.train.seed)
-        dataset.normalizer.save(os.path.join(run_dir, "meta"))
+    # every run dir is self-contained: evaluate/visualize read meta/ for
+    # denormalization (and fall back to identity stats when absent)
+    dataset.normalizer.save(os.path.join(run_dir, "meta"))
 
     loader = DataLoader(dataset, batch_size=cfg.train.batch_size,
                         seed=cfg.train.seed)

@@ -46,22 +46,14 @@ class Trainer:
                  logger: Optional[MetricsLogger] = None):
         self.cfg = cfg
         self.mesh = self._maybe_make_mesh(cfg)
-        pp = (self.mesh.shape.get("pipe", 1)
-              if self.mesh is not None else 1)
-        if pp > 1:
-            # fail at construction, not with an opaque shard_map error
-            # inside the first jitted step: the GPipe ring needs the batch
-            # to divide into M microbatches and each microbatch into the
-            # data axis (config.py ParallelConfig.num_pipeline_stages doc)
-            M = cfg.model.pipeline_microbatches or 2 * pp
-            dp = self.mesh.shape.get(cfg.parallel.data_axis, 1)
-            B = cfg.train.batch_size
-            if B % M != 0 or (B // M) % dp != 0:
-                raise ValueError(
-                    f"pipeline parallelism: global batch {B} must split "
-                    f"into pipeline_microbatches={M} microbatches whose "
-                    f"size divides the data axis ({dp}); adjust "
-                    f"--batch_size or --pp_microbatches")
+        if self.mesh is not None:
+            from motiondiffusion_moe_tpu.parallel.pipeline_parallel import (
+                validate_pp_layout)
+            validate_pp_layout(
+                self.mesh, cfg.model.num_layers, cfg.train.batch_size,
+                cfg.model.pipeline_microbatches,
+                fix_hint=("; adjust --batch_size / --pp_microbatches / "
+                          "--num_layers"))
         sharded_axes = self.mesh is not None and (
             self.mesh.shape.get(cfg.parallel.expert_axis, 1) > 1
             or self.mesh.shape.get(cfg.parallel.model_axis, 1) > 1)

@@ -34,6 +34,10 @@ def test_convert_roundtrip_and_resume(tmp_path):
     out = run + "_stacked"
     new_cfg = ExperimentConfig.load(os.path.join(out, "config.json"))
     assert new_cfg.model.scan_blocks is True
+    # the run's meta/ (normalizer stats) rides along — evaluate/visualize
+    # silently fall back to an identity normalizer without it
+    assert os.path.isdir(os.path.join(out, "meta"))
+    assert os.listdir(os.path.join(out, "meta"))
 
     # the converted params == stack_block_params(source params), exactly
     src_cfg = ExperimentConfig.load(os.path.join(run, "config.json"))

@@ -188,6 +188,17 @@ class TestPPValidation:
         with pytest.raises(ValueError, match="pipeline_microbatches"):
             Trainer(cfg)
 
+    def test_trainer_rejects_indivisible_layers(self):
+        """num_layers % pp != 0 fails at construction too (the stacked
+        [L, ...] params shard into contiguous stages)."""
+        from motiondiffusion_moe_tpu.training.trainer import Trainer
+        cfg = _scan_cfg(16, num_layers=6)
+        cfg = replace(cfg,
+                      model=replace(cfg.model, pipeline_microbatches=2),
+                      parallel=ParallelConfig(num_pipeline_stages=4))
+        with pytest.raises(ValueError, match="num_layers"):
+            Trainer(cfg)
+
     def test_pipeline_rejects_indivisible_microbatches(self):
         from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
         cfg = _scan_cfg(8)
