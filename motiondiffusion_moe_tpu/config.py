@@ -204,6 +204,19 @@ class TrainConfig:
     log_every: int = 50                # train_options.py
     save_latest_every: int = 500       # train_options.py:25
     save_every_epochs: int = 5         # ddpm_trainer.py:350-362
+    # Exponential moving average of the weights (0 = off, e.g. 0.9999).
+    # The reference keeps none (trainers/ddpm_trainer.py optimizes raw
+    # weights only); standard diffusion practice (guided-diffusion, MDM)
+    # samples from the EMA weights. Stored in TrainState.ema_params,
+    # checkpointed, selected at sampling time via --use_ema.
+    ema_decay: float = 0.0
+    # Learning-rate schedule: "constant" (the reference's fixed Adam lr,
+    # train_options.py:14) or "cosine" (warmup + cosine decay to 0 over
+    # lr_decay_steps TOTAL steps). lr_warmup_steps linearly ramps 0 -> lr
+    # under either schedule.
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 0
     # Optional "advanced" losses from the reference README (README.md:24-31,
     # 97-129) that its code never implements — implemented for real here.
     w_velocity: float = 0.0            # temporal-coherence (velocity MSE)

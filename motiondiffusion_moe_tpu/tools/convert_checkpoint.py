@@ -115,7 +115,10 @@ def main(argv=None) -> None:
     convert = stack_block_params if to_stacked else unstack_block_params
     new_state = state.replace(
         params=_convert_variables(state.params, convert),
-        opt_state=convert_state_tree(state.opt_state, convert))
+        opt_state=convert_state_tree(state.opt_state, convert),
+        ema_params=(_convert_variables(state.ema_params, convert)
+                    if getattr(state, "ema_params", None) is not None
+                    else None))
 
     new_cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model,

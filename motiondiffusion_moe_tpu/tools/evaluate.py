@@ -72,6 +72,9 @@ def main(argv=None) -> None:
     p.add_argument("--glove_dir", default="./glove")
     p.add_argument("--log_file", default="")
     p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpm"])
+    p.add_argument("--use_ema", action="store_true",
+                   help="sample with the EMA weights (run must be trained "
+                        "with --ema_decay > 0)")
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=32,
                    help="generation micro-batch (serving shape)")
@@ -131,7 +134,9 @@ def main(argv=None) -> None:
         samples = build_eval_samples(ds, args.max_samples)
     print(f"[evaluate] {len(samples)} eval samples")
 
-    pipe = GenerationPipeline(cfg, trainer.model, state.params,
+    from motiondiffusion_moe_tpu.training import select_params
+    pipe = GenerationPipeline(cfg, trainer.model,
+                              select_params(state, args.use_ema),
                               sampler=args.sampler,
                               num_inference_steps=args.steps or None,
                               micro_batch=args.batch_size)

@@ -75,6 +75,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="run each U-Net scale's blocks as one nn.scan over "
                         "stacked [L,...] params (~Lx smaller traced "
                         "program; same math)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="weight-EMA decay (0 = off; e.g. 0.9999). Sample "
+                        "with --use_ema in evaluate/visualize")
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine"])
+    p.add_argument("--lr_warmup_steps", type=int, default=0,
+                   help="linear 0 -> lr warmup steps")
+    p.add_argument("--lr_decay_steps", type=int, default=0,
+                   help="total steps for the cosine decay (incl. warmup)")
     p.add_argument("--caption_dropout", type=float, default=0.0)
     p.add_argument("--w_velocity", type=float, default=0.0)
     p.add_argument("--w_acceleration", type=float, default=0.0)
@@ -152,6 +161,10 @@ def config_from_args(args: argparse.Namespace):
                           adam_nu_dtype=args.adam_nu_dtype,
                           uncond_step=not args.no_uncond_step,
                           caption_dropout=args.caption_dropout,
+                          ema_decay=args.ema_decay,
+                          lr_schedule=args.lr_schedule,
+                          lr_warmup_steps=args.lr_warmup_steps,
+                          lr_decay_steps=args.lr_decay_steps,
                           log_every=args.log_every,
                           save_latest_every=args.save_latest,
                           save_every_epochs=args.save_every_e,

@@ -29,6 +29,9 @@ def main(argv=None) -> None:
     p.add_argument("--steps", type=int, default=0,
                    help="DDIM steps (0 = full schedule)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_ema", action="store_true",
+                   help="sample with the EMA weights (run must be trained "
+                        "with --ema_decay > 0)")
     args = p.parse_args(argv)
 
     import jax
@@ -59,8 +62,10 @@ def main(argv=None) -> None:
     normalizer = (MotionNormalizer.load(meta) if os.path.exists(meta)
                   else MotionNormalizer.identity(cfg.data.dim_pose))
 
+    from motiondiffusion_moe_tpu.training import select_params
     pipe = GenerationPipeline(
-        cfg, trainer.model, state.params, sampler=args.sampler,
+        cfg, trainer.model, select_params(state, args.use_ema),
+        sampler=args.sampler,
         num_inference_steps=args.steps or None, micro_batch=1)
     motion = pipe.generate([args.text], [args.motion_length],
                            rng=jax.random.key(args.seed))[0]

@@ -57,6 +57,8 @@ class CheckpointManager:
             "rng_width": np.asarray(rng_width),
             "has_rng": np.asarray(rng is not None),
         }
+        if getattr(state, "ema_params", None) is not None:
+            payload["ema_params"] = state.ema_params
         if extra:
             payload.update(extra)
         self._mngr.save(step, args=ocp.args.StandardSave(payload))
@@ -82,7 +84,7 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
-        def template(rng_shape, with_width):
+        def template(rng_shape, with_width, with_ema):
             t = {
                 "params": state_template.params,
                 "opt_state": state_template.opt_state,
@@ -93,23 +95,47 @@ class CheckpointManager:
             }
             if with_width:
                 t["rng_width"] = np.asarray(0)
+            if with_ema:
+                # the EMA tree mirrors the params tree — use it as the
+                # restore template even when the live template carries no
+                # EMA (a run trained WITH ema restored with ema off)
+                t["ema_params"] = (getattr(state_template, "ema_params",
+                                           None) or state_template.params)
             return t
 
-        try:
-            restored = self._mngr.restore(
-                step, args=ocp.args.StandardRestore(template((4,), True)))
-        except ValueError:
-            # Checkpoints written before the fixed-width rng buffer store
-            # "rng" at its natural (2,) threefry width with no "rng_width"
-            # entry; orbax rejects a structurally mismatched template (and
-            # a fresh manager's item_metadata is None, so the layout can't
-            # be sniffed up front) — retry with the legacy template.
-            restored = self._mngr.restore(
-                step, args=ocp.args.StandardRestore(template((2,), False)))
+        # Template variants, tried in order: orbax rejects structurally
+        # mismatched templates, and a fresh manager's item_metadata is
+        # None so the layout can't be sniffed up front.
+        # - with/without "ema_params" (runs trained with ema_decay > 0)
+        # - legacy: checkpoints written before the fixed-width rng buffer
+        #   store "rng" at its natural (2,) threefry width, no "rng_width"
+        restored = None
+        for rng_shape, with_width, with_ema in (
+                ((4,), True, True), ((4,), True, False),
+                ((2,), False, False)):
+            try:
+                restored = self._mngr.restore(
+                    step, args=ocp.args.StandardRestore(
+                        template(rng_shape, with_width, with_ema)))
+                break
+            except (ValueError, KeyError):
+                continue
+        if restored is None:
+            raise ValueError(
+                f"checkpoint at step {step} matches no known layout")
+        new_ema = getattr(state_template, "ema_params", None)
+        if new_ema is not None:
+            # resuming an EMA run: take the saved EMA; when the checkpoint
+            # predates EMA, seed it from the restored weights (a COPY — the
+            # donated train step may not see the same buffer twice)
+            new_ema = restored.get(
+                "ema_params",
+                jax.tree_util.tree_map(jax.numpy.copy, restored["params"]))
         state = state_template.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],
-            step=jax.numpy.asarray(restored["step"]))
+            step=jax.numpy.asarray(restored["step"]),
+            ema_params=new_ema)
         rng = None
         if bool(restored.get("has_rng", False)):
             data = np.asarray(restored["rng"]).ravel()

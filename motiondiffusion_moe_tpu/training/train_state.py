@@ -42,6 +42,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # EMA of `params` (TrainConfig.ema_decay > 0), else None. None is an
+    # empty pytree, so states saved before this field existed restore
+    # unchanged when EMA is off.
+    ema_params: Any = None
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state,
@@ -150,17 +154,39 @@ def scale_by_adam_compact(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def make_lr(cfg: ExperimentConfig):
+    """The learning rate — a float (the reference's fixed Adam lr) or an
+    optax schedule when warmup/cosine is configured."""
+    tc = cfg.train
+    if tc.lr_schedule == "cosine":
+        if tc.lr_decay_steps <= 0:
+            raise ValueError("lr_schedule='cosine' needs lr_decay_steps "
+                             "(total steps incl. warmup)")
+        return optax.warmup_cosine_decay_schedule(
+            0.0, tc.lr, tc.lr_warmup_steps, tc.lr_decay_steps)
+    if tc.lr_schedule != "constant":
+        raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r} "
+                         "(constant | cosine)")
+    if tc.lr_warmup_steps > 0:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, tc.lr, tc.lr_warmup_steps),
+             optax.constant_schedule(tc.lr)],
+            [tc.lr_warmup_steps])
+    return tc.lr
+
+
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     """clip_by_global_norm(1.0) -> Adam(lr) (``ddpm_trainer.py:241,298``)."""
     mu_dtype = (jnp.bfloat16 if cfg.train.adam_mu_dtype == "bfloat16"
                 else None)
+    lr = make_lr(cfg)
     if cfg.train.adam_nu_dtype == "bfloat16":
         adam = optax.chain(
             scale_by_adam_compact(mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16),
-            optax.scale_by_learning_rate(cfg.train.lr),
+            optax.scale_by_learning_rate(lr),
         )
     else:
-        adam = optax.adam(cfg.train.lr, mu_dtype=mu_dtype)
+        adam = optax.adam(lr, mu_dtype=mu_dtype)
     return optax.chain(
         clip_by_grouped_global_norm(cfg.train.grad_clip_norm),
         adam,
@@ -200,7 +226,25 @@ def create_train_state(model: MotionTransformer, cfg: ExperimentConfig,
     return TrainState(step=jnp.zeros((), jnp.int32),
                       params=variables,
                       opt_state=tx.init(variables),
-                      tx=tx)
+                      tx=tx,
+                      # EMA starts as a COPY of the init weights (the
+                      # guided-diffusion convention — no bias correction).
+                      # A real copy, not an alias: the donated train step
+                      # may not receive the same buffer twice.
+                      ema_params=(jax.tree_util.tree_map(jnp.copy, variables)
+                                  if cfg.train.ema_decay > 0 else None))
+
+
+def select_params(state: TrainState, use_ema: bool = False) -> Any:
+    """The weights to SAMPLE with: raw params, or the EMA weights when
+    ``use_ema`` (requires a run trained with ``ema_decay > 0``)."""
+    if not use_ema:
+        return state.params
+    if state.ema_params is None:
+        raise ValueError(
+            "this run has no EMA weights (trained with ema_decay=0); "
+            "drop --use_ema or retrain with --ema_decay")
+    return state.ema_params
 
 
 def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
@@ -304,6 +348,11 @@ def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
         # same graph as the clip's norm -> XLA CSEs it away to zero cost
         metrics["grad_norm"] = grouped_global_norm(grads)
         new_state = state.apply_gradients(grads)
+        if tc.ema_decay > 0:
+            d = tc.ema_decay
+            new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                state.ema_params, new_state.params))
         return new_state, metrics
 
     if not jit:

@@ -21,6 +21,7 @@ from motiondiffusion_moe_tpu.data import (
 from motiondiffusion_moe_tpu.diffusion.gaussian import make_schedule
 from motiondiffusion_moe_tpu.models import MotionTransformer
 from motiondiffusion_moe_tpu.training import (
+    CheckpointManager,
     Trainer,
     acceleration_loss,
     create_train_state,
@@ -466,3 +467,105 @@ class TestDataset:
         assert motions.dtype == np.float32
         assert lengths.dtype == np.int32
         assert len(captions) == 4
+
+
+class TestEMAAndLRSchedule:
+    """Weight EMA (TrainConfig.ema_decay) and LR schedules — our additions
+    beyond the reference's fixed-lr, no-EMA recipe (train_options.py:14)."""
+
+    def _setup(self, **train_kw):
+        import dataclasses as _dc
+        cfg = tiny_config()
+        cfg = _dc.replace(cfg, train=_dc.replace(cfg.train, **train_kw))
+        model = MotionTransformer(config=cfg.model)
+        sched = make_schedule(schedule_name="linear",
+                              num_timesteps=cfg.diffusion.num_timesteps)
+        state = create_train_state(model, cfg, jax.random.key(0))
+        step = make_train_step(model, sched, cfg)
+        batch = {
+            "motion": jax.random.normal(jax.random.key(1), (4, 16, 26)) * 0.5,
+            "length": jnp.asarray([16, 12, 16, 9]),
+            "text_ids": jnp.ones((4, 8), jnp.int32),
+            "t": jnp.asarray([0, 10, 25, 49]),
+            "t_weight": jnp.ones((4,)),
+        }
+        return cfg, state, step, batch
+
+    @pytest.mark.slow
+    def test_ema_tracks_params(self):
+        """ema_{k+1} = d*ema_k + (1-d)*params_{k+1}, ema_0 = params_0."""
+        d = 0.5
+        _, state, step, batch = self._setup(ema_decay=d)
+        ema = jax.device_get(state.ema_params)
+        assert ema is not None
+        for i in range(2):
+            state, _ = step(state, batch, jax.random.key(10 + i))
+            p = jax.device_get(state.params)
+            ema = jax.tree_util.tree_map(
+                lambda e, q: d * e + (1 - d) * q, ema, p)
+            got = jax.device_get(state.ema_params)
+            for a, b in zip(jax.tree_util.tree_leaves(ema),
+                            jax.tree_util.tree_leaves(got)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-6, atol=1e-7)
+        # EMA lags the raw weights (it still holds mass on the init point)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            jax.device_get(state.params), jax.device_get(state.ema_params))
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+    @pytest.mark.slow
+    def test_ema_checkpoint_roundtrip(self, tmp_path):
+        _, state, step, batch = self._setup(ema_decay=0.9)
+        state, _ = step(state, batch, jax.random.key(5))
+        mngr = CheckpointManager(str(tmp_path / "ckpt"))
+        mngr.save(1, state, epoch=0)
+        mngr.wait()
+        _, template, _, _ = self._setup(ema_decay=0.9)
+        restored, _ = mngr.restore(template)
+        mngr.close()
+        for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                        jax.tree_util.tree_leaves(restored.ema_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.slow
+    def test_lr_warmup_first_step_is_noop(self):
+        """linear 0 -> lr warmup: the first update is scaled by lr(0)=0."""
+        _, state, step, batch = self._setup(lr_warmup_steps=3)
+        before = jax.device_get(state.params)
+        state, _ = step(state, batch, jax.random.key(6))
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(state.params))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        state, _ = step(state, batch, jax.random.key(7))
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            before, jax.device_get(state.params))
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+    def test_no_ema_by_default_and_select_params(self):
+        from motiondiffusion_moe_tpu.training import select_params
+        cfg = tiny_config()
+        model = MotionTransformer(config=cfg.model)
+        state = create_train_state(model, cfg, jax.random.key(0))
+        assert state.ema_params is None
+        assert select_params(state) is state.params
+        with pytest.raises(ValueError, match="ema_decay"):
+            select_params(state, use_ema=True)
+
+    def test_cosine_requires_decay_steps(self):
+        import dataclasses as _dc
+        from motiondiffusion_moe_tpu.training.train_state import make_lr
+        cfg = tiny_config()
+        cfg = _dc.replace(cfg, train=_dc.replace(cfg.train,
+                                                 lr_schedule="cosine"))
+        with pytest.raises(ValueError, match="lr_decay_steps"):
+            make_lr(cfg)
+        cfg = _dc.replace(cfg, train=_dc.replace(
+            cfg.train, lr_schedule="cosine", lr_warmup_steps=10,
+            lr_decay_steps=100))
+        lr = make_lr(cfg)
+        assert float(lr(0)) == 0.0
+        np.testing.assert_allclose(float(lr(10)), cfg.train.lr, rtol=1e-6)
+        assert float(lr(100)) < 1e-5 * cfg.train.lr
