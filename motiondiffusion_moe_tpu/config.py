@@ -137,12 +137,10 @@ class ModelConfig:
 class ParallelConfig:
     """Device-mesh layout. The reference is DP-only over NCCL
     (``tools/train.py:95-100``); here a single Mesh carries data and expert
-    axes, with MoE all-to-all over the expert axis (ICI)."""
+    axes, with MoE all-to-all over the expert axis (ICI). Axis NAMES are
+    fixed framework-wide constants (``parallel.mesh.DATA_AXIS`` etc.) —
+    only the partition counts are configurable."""
 
-    data_axis: str = "data"
-    seq_axis: str = "seq"
-    expert_axis: str = "expert"
-    model_axis: str = "model"
     num_expert_partitions: int = 1     # experts sharded over this many devices
     num_model_partitions: int = 1      # tensor parallelism (FFN column/row split)
     # sequence/context parallelism: activations sharded on the frame axis T,
@@ -244,14 +242,26 @@ class ExperimentConfig:
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ExperimentConfig":
+        def build(cls, section):
+            # tolerate unknown keys so config.json round-trips across
+            # framework versions (fields added or retired — e.g. the old
+            # fixed axis-name strings) instead of crashing the load
+            names = {f.name for f in dataclasses.fields(cls)}
+            known = {k: v for k, v in section.items() if k in names}
+            dropped = sorted(set(section) - names)
+            if dropped:
+                print(f"[config] note: ignoring unknown "
+                      f"{cls.__name__} keys {dropped}")
+            return cls(**known)
+
         return ExperimentConfig(
             name=d.get("name", "exp"),
             checkpoint_dir=d.get("checkpoint_dir", "./checkpoints"),
-            data=DataConfig(**d.get("data", {})),
-            diffusion=DiffusionConfig(**d.get("diffusion", {})),
-            model=ModelConfig(**d.get("model", {})),
-            parallel=ParallelConfig(**d.get("parallel", {})),
-            train=TrainConfig(**d.get("train", {})),
+            data=build(DataConfig, d.get("data", {})),
+            diffusion=build(DiffusionConfig, d.get("diffusion", {})),
+            model=build(ModelConfig, d.get("model", {})),
+            parallel=build(ParallelConfig, d.get("parallel", {})),
+            train=build(TrainConfig, d.get("train", {})),
         )
 
     @staticmethod

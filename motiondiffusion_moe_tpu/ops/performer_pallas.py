@@ -357,13 +357,24 @@ def favor_qkv_reference(qkv: jnp.ndarray, ln_scale: jnp.ndarray,
 
 def _favor_qkv_kernel_v2(qkv_ref, scale_ref, bias_ref, projbd_ref, mask_ref,
                          out_ref, *, eps: float, pre_scale: float,
-                         num_heads: int):
+                         num_heads: int, mxu_bf16: bool = False):
     """Block-diagonal variant: per-head LayerNorm/L2 stay looped (cheap VPU
     work), but the feature-map matmuls run as ONE [T, H*D] x [H*D, H*m]
     block-diagonal product per q and k (projbd = kron(I_H, projection),
     built outside the kernel, hoisted by XLA as loop-invariant). 2 big
     MXU-shaped matmuls instead of 2*H small [T,D]x[D,m] ones, and the
-    exp/clip feature map vectorizes across all heads."""
+    exp/clip feature map vectorizes across all heads.
+
+    ``mxu_bf16`` (env ``FAVOR_MXU_BF16=1``): round MATMUL OPERANDS to
+    bf16 (accumulation stays f32 via preferred_element_type) — a single
+    MXU pass instead of the multi-pass f32 emulation. LayerNorm / L2 /
+    exp / the denominator stay full f32 (SURVEY §7 hard part #5: the exp
+    feature map is the precision-sensitive piece). Interpret-mode parity
+    vs the f32 reference is asserted loose (~1e-2 rel) in
+    tests/test_ops.py; an end-to-end drift test gates the serving knob."""
+
+    def mx(x):
+        return x.astype(jnp.bfloat16) if mxu_bf16 else x
     scale = scale_ref[0].astype(jnp.float32)
     bias = bias_ref[0].astype(jnp.float32)
 
@@ -397,17 +408,21 @@ def _favor_qkv_kernel_v2(qkv_ref, scale_ref, bias_ref, projbd_ref, mask_ref,
     k = jnp.concatenate(ks, axis=-1)
 
     q_proj = jnp.exp(jnp.clip(jnp.dot(
-        q, projbd, preferred_element_type=jnp.float32), -15, 15)) * 0.1
+        mx(q), mx(projbd), preferred_element_type=jnp.float32),
+        -15, 15)) * 0.1
     k_proj = jnp.exp(jnp.clip(jnp.dot(
-        k, projbd, preferred_element_type=jnp.float32), -15, 15)) * 0.1
+        mx(k), mx(projbd), preferred_element_type=jnp.float32),
+        -15, 15)) * 0.1
     k_proj = k_proj * m1                  # [T, H*m]
 
     for h in range(H):
         qp = q_proj[:, h * m:(h + 1) * m]
         kp = k_proj[:, h * m:(h + 1) * m]
         den = jnp.maximum(jnp.sum(qp * kp, -1, keepdims=True), eps)
-        kv = jnp.dot(kp.T, vs[h], preferred_element_type=jnp.float32) * 0.1
-        qkv_h = jnp.dot(qp, kv, preferred_element_type=jnp.float32) * 0.1
+        kv = jnp.dot(mx(kp).T, mx(vs[h]),
+                     preferred_element_type=jnp.float32) * 0.1
+        qkv_h = jnp.dot(mx(qp), mx(kv),
+                        preferred_element_type=jnp.float32) * 0.1
         out_ref[0, :, h * D:(h + 1) * D] = (ln(qkv_h / den)
                                             .astype(out_ref.dtype))
 
@@ -490,8 +505,10 @@ def _favor_qkv_pallas(qkv, ln_scale, ln_bias, projection, mask, eps: float,
         # block-diagonal feature-map matmuls (see _favor_qkv_kernel_v2)
         projbd = jnp.kron(jnp.eye(H, dtype=projection.dtype), projection)
         return pl.pallas_call(
-            functools.partial(_favor_qkv_kernel_v2, eps=eps,
-                              pre_scale=pre_scale, num_heads=H),
+            functools.partial(
+                _favor_qkv_kernel_v2, eps=eps, pre_scale=pre_scale,
+                num_heads=H,
+                mxu_bf16=os.environ.get("FAVOR_MXU_BF16", "0") == "1"),
             out_shape=jax.ShapeDtypeStruct((B, T, HD), qkv.dtype),
             grid=(B,),
             in_specs=[

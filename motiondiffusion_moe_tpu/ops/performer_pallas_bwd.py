@@ -69,8 +69,15 @@ def _ln_bwd(g, z, istd, s):
 
 def _favor_qkv_bwd_kernel(qkv_ref, scale_ref, bias_ref, proj_ref, mask_ref,
                           g_ref, dx_ref, ds_ref, dc_ref, dp_ref, *,
-                          eps: float, pre_scale: float, num_heads: int):
+                          eps: float, pre_scale: float, num_heads: int,
+                          mxu_bf16: bool = False):
     b = pl.program_id(0)
+
+    def mx(x):
+        # FAVOR_MXU_BF16 (same knob as the forward kernel): matmul
+        # operands rounded to bf16, f32 accumulation. The LN/L2/exp
+        # chains and all gradient accumulators stay f32.
+        return x.astype(jnp.bfloat16) if mxu_bf16 else x
 
     @pl.when(b == 0)
     def _init():
@@ -110,15 +117,16 @@ def _favor_qkv_bwd_kernel(qkv_ref, scale_ref, bias_ref, proj_ref, mask_ref,
         q2, rq, nq2 = l2_fwd(q1)
         k2, rk, nk2 = l2_fwd(k1)
 
-        qlin = jnp.dot(q2, proj, preferred_element_type=jnp.float32)
-        klin = jnp.dot(k2, proj, preferred_element_type=jnp.float32)
+        qlin = jnp.dot(mx(q2), mx(proj), preferred_element_type=jnp.float32)
+        klin = jnp.dot(mx(k2), mx(proj), preferred_element_type=jnp.float32)
         qp = jnp.exp(jnp.clip(qlin, -15, 15)) * 0.1          # [T, m]
         kp_u = jnp.exp(jnp.clip(klin, -15, 15)) * 0.1
         kp = kp_u * mask
         den_raw = jnp.sum(qp * kp, -1, keepdims=True)
         den = jnp.maximum(den_raw, eps)
-        kv = jnp.dot(kp.T, v1, preferred_element_type=jnp.float32) * 0.1
-        o = jnp.dot(qp, kv, preferred_element_type=jnp.float32) * 0.1
+        kv = jnp.dot(mx(kp).T, mx(v1),
+                     preferred_element_type=jnp.float32) * 0.1
+        o = jnp.dot(mx(qp), mx(kv), preferred_element_type=jnp.float32) * 0.1
         u = o / den
         _, zo, io = _ln_fwd(u, s, c)
 
@@ -132,22 +140,30 @@ def _favor_qkv_bwd_kernel(qkv_ref, scale_ref, bias_ref, proj_ref, mask_ref,
         g_den = -jnp.sum(g_u * u, -1, keepdims=True) / den
         g_den = jnp.where(den_raw >= eps, g_den, 0.0)
 
-        g_qp = jnp.dot(g_o, kv.T, preferred_element_type=jnp.float32) * 0.1 \
+        g_qp = jnp.dot(mx(g_o), mx(kv).T,
+                       preferred_element_type=jnp.float32) * 0.1 \
             + g_den * kp
-        g_kv = jnp.dot(qp.T, g_o, preferred_element_type=jnp.float32) * 0.1
-        g_kp = jnp.dot(v1, g_kv.T, preferred_element_type=jnp.float32) * 0.1 \
+        g_kv = jnp.dot(mx(qp).T, mx(g_o),
+                       preferred_element_type=jnp.float32) * 0.1
+        g_kp = jnp.dot(mx(v1), mx(g_kv).T,
+                       preferred_element_type=jnp.float32) * 0.1 \
             + g_den * qp
-        g_v1 = jnp.dot(kp, g_kv, preferred_element_type=jnp.float32) * 0.1
+        g_v1 = jnp.dot(mx(kp), mx(g_kv),
+                       preferred_element_type=jnp.float32) * 0.1
 
         pass_q = (qlin >= -15) & (qlin <= 15)
         pass_k = (klin >= -15) & (klin <= 15)
         dqlin = jnp.where(pass_q, g_qp * qp, 0.0)
         dklin = jnp.where(pass_k, g_kp * mask * kp_u, 0.0)
 
-        g_q2 = jnp.dot(dqlin, proj.T, preferred_element_type=jnp.float32)
-        g_k2 = jnp.dot(dklin, proj.T, preferred_element_type=jnp.float32)
-        dp_acc += jnp.dot(q2.T, dqlin, preferred_element_type=jnp.float32)
-        dp_acc += jnp.dot(k2.T, dklin, preferred_element_type=jnp.float32)
+        g_q2 = jnp.dot(mx(dqlin), mx(proj).T,
+                       preferred_element_type=jnp.float32)
+        g_k2 = jnp.dot(mx(dklin), mx(proj).T,
+                       preferred_element_type=jnp.float32)
+        dp_acc += jnp.dot(mx(q2).T, mx(dqlin),
+                          preferred_element_type=jnp.float32)
+        dp_acc += jnp.dot(mx(k2).T, mx(dklin),
+                          preferred_element_type=jnp.float32)
 
         # L2 backward (max(norm^2, 1e-24) cutoff in rsqrt form)
         def l2_bwd(gy, v, r, n2):
@@ -196,9 +212,12 @@ def favor_qkv_bwd_pallas(qkv, ln_scale, ln_bias, projection, mask, g,
     else:
         maskf = mask.astype(jnp.float32).reshape(B, T, 1)
 
+    import os
     dx, ds, dc, dp = pl.pallas_call(
-        functools.partial(_favor_qkv_bwd_kernel, eps=eps,
-                          pre_scale=pre_scale, num_heads=H),
+        functools.partial(
+            _favor_qkv_bwd_kernel, eps=eps, pre_scale=pre_scale,
+            num_heads=H,
+            mxu_bf16=os.environ.get("FAVOR_MXU_BF16", "0") == "1"),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, HD3), qkv.dtype),
             jax.ShapeDtypeStruct((1, D), jnp.float32),

@@ -20,11 +20,13 @@ The output directory gets a converted ``config.json`` (``scan_blocks``
 flipped), a copy of the run's ``meta/`` (normalizer stats), and the
 converted checkpoint — a run directory ``tools/evaluate.py`` /
 ``tools/visualize.py`` accept via ``--run_dir`` as-is. To RESUME TRAINING
-from it, re-run ``tools/train.py --run_dir <out>`` with the original
-flags ADJUSTED to the new layout (``--scan_blocks`` added or dropped):
-train.py rewrites ``config.json`` from its CLI args, so the flags must
-describe the converted layout or the orbax restore template will not
-match the checkpoint.
+from it, point train.py at the converted run dir via its two
+run-locating flags — ``tools/train.py --checkpoint_dir <parent of out>
+--name <basename of out>`` — with the original flags ADJUSTED to the new
+layout (``--scan_blocks`` added or dropped): train.py rewrites
+``config.json`` from its CLI args, so the flags must describe the
+converted layout or the orbax restore template will not match the
+checkpoint.
 """
 
 from __future__ import annotations

@@ -96,11 +96,12 @@ class CheckpointManager:
             if with_width:
                 t["rng_width"] = np.asarray(0)
             if with_ema:
-                # the EMA tree mirrors the params tree — use it as the
-                # restore template even when the live template carries no
+                # the EMA tree mirrors the 'params' collection — derive a
+                # template from it even when the live template carries no
                 # EMA (a run trained WITH ema restored with ema off)
-                t["ema_params"] = (getattr(state_template, "ema_params",
-                                           None) or state_template.params)
+                t["ema_params"] = (
+                    getattr(state_template, "ema_params", None)
+                    or {"params": state_template.params["params"]})
             return t
 
         # Template variants, tried in order: orbax rejects structurally
@@ -110,6 +111,7 @@ class CheckpointManager:
         # - legacy: checkpoints written before the fixed-width rng buffer
         #   store "rng" at its natural (2,) threefry width, no "rng_width"
         restored = None
+        errors = []
         for rng_shape, with_width, with_ema in (
                 ((4,), True, True), ((4,), True, False),
                 ((2,), False, False)):
@@ -118,19 +120,39 @@ class CheckpointManager:
                     step, args=ocp.args.StandardRestore(
                         template(rng_shape, with_width, with_ema)))
                 break
-            except (ValueError, KeyError):
+            except (ValueError, KeyError) as e:
+                errors.append(
+                    f"[ema={with_ema} rng_width={with_width}] "
+                    f"{type(e).__name__}: {e}")
                 continue
         if restored is None:
+            # surface every variant's underlying orbax error: a genuine
+            # structural mismatch (changed model shape, added lr schedule
+            # -> new opt_state leaf, ...) must not become an opaque
+            # "no known layout"
+            detail = "\n  ".join(errors)
             raise ValueError(
-                f"checkpoint at step {step} matches no known layout")
+                f"checkpoint at step {step} matches no known layout; the "
+                f"restore template likely diverged from the saved run "
+                f"(changed model/optimizer flags on resume?). Per-layout "
+                f"errors:\n  {detail}") from None
         new_ema = getattr(state_template, "ema_params", None)
         if new_ema is not None:
-            # resuming an EMA run: take the saved EMA; when the checkpoint
-            # predates EMA, seed it from the restored weights (a COPY — the
-            # donated train step may not see the same buffer twice)
-            new_ema = restored.get(
-                "ema_params",
-                jax.tree_util.tree_map(jax.numpy.copy, restored["params"]))
+            if "ema_params" in restored:
+                # resuming an EMA run: take the saved EMA
+                new_ema = restored["ema_params"]
+            else:
+                # checkpoint predates EMA: seed from the restored weights
+                # (a COPY — the donated train step may not see the same
+                # buffer twice)
+                new_ema = {"params": jax.tree_util.tree_map(
+                    jax.numpy.copy, restored["params"]["params"])}
+        elif "ema_params" in restored:
+            print(f"[checkpoint] WARNING: checkpoint at step {step} carries "
+                  "EMA weights but the current config has ema_decay=0 — the "
+                  "EMA weights are DROPPED and subsequent checkpoints will "
+                  "not contain them. Resume with --ema_decay to keep them, "
+                  "or evaluate this checkpoint with --use_ema first.")
         state = state_template.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],

@@ -42,9 +42,11 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
-    # EMA of `params` (TrainConfig.ema_decay > 0), else None. None is an
-    # empty pytree, so states saved before this field existed restore
-    # unchanged when EMA is off.
+    # EMA of the trained weights (TrainConfig.ema_decay > 0), else None.
+    # Holds ONLY the 'params' collection ({"params": <tree>}): the sown
+    # aux collections riding in `params` are per-step scalars that EMA
+    # would average meaninglessly. None is an empty pytree, so states
+    # saved before this field existed restore unchanged when EMA is off.
     ema_params: Any = None
 
     def apply_gradients(self, grads) -> "TrainState":
@@ -231,7 +233,8 @@ def create_train_state(model: MotionTransformer, cfg: ExperimentConfig,
                       # guided-diffusion convention — no bias correction).
                       # A real copy, not an alias: the donated train step
                       # may not receive the same buffer twice.
-                      ema_params=(jax.tree_util.tree_map(jnp.copy, variables)
+                      ema_params=({"params": jax.tree_util.tree_map(
+                                      jnp.copy, variables["params"])}
                                   if cfg.train.ema_decay > 0 else None))
 
 
@@ -244,7 +247,9 @@ def select_params(state: TrainState, use_ema: bool = False) -> Any:
         raise ValueError(
             "this run has no EMA weights (trained with ema_decay=0); "
             "drop --use_ema or retrain with --ema_decay")
-    return state.ema_params
+    # a full variables dict (non-param collections from the live state,
+    # 'params' from the EMA) so callers treat it exactly like .params
+    return {**state.params, "params": state.ema_params["params"]}
 
 
 def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
@@ -350,9 +355,11 @@ def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
         new_state = state.apply_gradients(grads)
         if tc.ema_decay > 0:
             d = tc.ema_decay
-            new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
-                lambda e, p: d * e + (1.0 - d) * p,
-                state.ema_params, new_state.params))
+            new_state = new_state.replace(ema_params={
+                "params": jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    state.ema_params["params"],
+                    new_state.params["params"])})
         return new_state, metrics
 
     if not jit:

@@ -19,6 +19,8 @@ import numpy as np
 
 from motiondiffusion_moe_tpu.config import ExperimentConfig
 from motiondiffusion_moe_tpu.parallel import (
+    EXPERT_AXIS,
+    MODEL_AXIS,
     make_mesh,
     make_sharded_train_step,
     shard_batch,
@@ -55,8 +57,8 @@ class Trainer:
                 fix_hint=("; adjust --batch_size / --pp_microbatches / "
                           "--num_layers"))
         sharded_axes = self.mesh is not None and (
-            self.mesh.shape.get(cfg.parallel.expert_axis, 1) > 1
-            or self.mesh.shape.get(cfg.parallel.model_axis, 1) > 1)
+            self.mesh.shape.get(EXPERT_AXIS, 1) > 1
+            or self.mesh.shape.get(MODEL_AXIS, 1) > 1)
         if sharded_axes and cfg.model.moe_compute == "dense_fused":
             # dense_fused merges the expert AND hidden dims into one matmul:
             # the SPMD partitioner can neither shard the merged E dim over

@@ -7,14 +7,14 @@ import numpy as np
 import pytest
 
 
-def _train_tiny(tmp_path, name):
+def _train_tiny(tmp_path, name, *extra):
     from motiondiffusion_moe_tpu.tools.train import main
     main(["--name", name, "--dataset", "synthetic", "--synthetic_size", "8",
           "--checkpoint_dir", str(tmp_path), "--batch_size", "4",
           "--num_epochs", "2", "--num_layers", "2", "--latent_dim", "32",
           "--ff_size", "16", "--num_heads", "2", "--num_experts", "4",
           "--text_latent_dim", "16", "--diffusion_steps", "50",
-          "--no_uncond_step", "--save_latest", "2"])
+          "--no_uncond_step", "--save_latest", "2", *extra])
     return os.path.join(str(tmp_path), name)
 
 
@@ -27,7 +27,8 @@ def test_convert_roundtrip_and_resume(tmp_path):
     from motiondiffusion_moe_tpu.training import (
         CheckpointManager, Trainer, create_train_state)
 
-    run = _train_tiny(tmp_path, "src")
+    # train WITH ema so the EMA tree rides through both conversions
+    run = _train_tiny(tmp_path, "src", "--ema_decay", "0.999")
 
     # named -> stacked
     conv(["--run_dir", run, "--to", "stacked"])
@@ -79,6 +80,12 @@ def test_convert_roundtrip_and_resume(tmp_path):
     # Adam moments converted too (resume is bit-identical, not just params)
     for a, b in zip(jax.tree_util.tree_leaves(src_state.opt_state),
                     jax.tree_util.tree_leaves(back_state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ... and the EMA weights
+    assert src_state.ema_params is not None
+    assert back_state.ema_params is not None
+    for a, b in zip(jax.tree_util.tree_leaves(src_state.ema_params),
+                    jax.tree_util.tree_leaves(back_state.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

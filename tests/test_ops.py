@@ -133,6 +133,39 @@ def _favor_qkv_interpret(qkv, ln_scale, ln_bias, proj, mask,
     )(qkv, ln_scale.reshape(1, D), ln_bias.reshape(1, D), proj, maskf)
 
 
+def _favor_qkv_v2_interpret(qkv, ln_scale, ln_bias, proj, mask,
+                            eps=1e-6, pre_scale=0.1, mxu_bf16=False):
+    """Block-diagonal v2 kernel (the production default) in interpreter
+    mode, optionally with the bf16-matmul-operand mode."""
+    import functools as ft
+
+    from motiondiffusion_moe_tpu.ops.performer_pallas import (
+        _favor_qkv_kernel_v2)
+
+    B, T, HD3 = qkv.shape
+    HD = HD3 // 3
+    D, m = proj.shape
+    H = HD // D
+    maskf = (jnp.ones((B, T, 1), jnp.float32) if mask is None
+             else mask.astype(jnp.float32).reshape(B, T, 1))
+    projbd = jnp.kron(jnp.eye(H, dtype=proj.dtype), proj)
+    return pl.pallas_call(
+        ft.partial(_favor_qkv_kernel_v2, eps=eps, pre_scale=pre_scale,
+                   num_heads=H, mxu_bf16=mxu_bf16),
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), qkv.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, HD3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, D), lambda b: (0, 0)),
+            pl.BlockSpec((1, D), lambda b: (0, 0)),
+            pl.BlockSpec((H * D, H * m), lambda b: (0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
+        interpret=True,
+    )(qkv, ln_scale.reshape(1, D), ln_bias.reshape(1, D), projbd, maskf)
+
+
 class TestFavorQKVKernel:
     def _inputs(self, B=2, H=2, T=12, D=8, m=16):
         ks = jax.random.split(jax.random.key(3), 4)
@@ -141,6 +174,30 @@ class TestFavorQKVKernel:
         bias = 0.1 * jax.random.normal(ks[2], (D,))
         proj = jax.random.normal(ks[3], (D, m)) * (D ** -0.25)
         return qkv, scale, bias, proj
+
+    def test_v2_kernel_matches_reference_ragged_mask(self):
+        qkv, scale, bias, proj = self._inputs()
+        mask = (jnp.arange(12)[None, :] < jnp.asarray([12, 7])[:, None]
+                ).astype(jnp.float32)
+        ref = favor_qkv_reference(qkv, scale, bias, proj, mask)
+        out = _favor_qkv_v2_interpret(qkv, scale, bias, proj, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_v2_kernel_mxu_bf16_mode_close_to_reference(self):
+        """FAVOR_MXU_BF16: matmul operands rounded to bf16 (f32 accum).
+        Loose bound — bf16 rounding of the pre-exp logits amplifies
+        through exp — but the output must track the f32 reference to ~1%
+        of its scale and stay finite."""
+        qkv, scale, bias, proj = self._inputs()
+        mask = (jnp.arange(12)[None, :] < jnp.asarray([12, 7])[:, None]
+                ).astype(jnp.float32)
+        ref = np.asarray(favor_qkv_reference(qkv, scale, bias, proj, mask))
+        out = np.asarray(_favor_qkv_v2_interpret(qkv, scale, bias, proj,
+                                                 mask, mxu_bf16=True))
+        assert np.isfinite(out).all()
+        tol = 2e-2 * max(np.abs(ref).max(), 1e-3)
+        np.testing.assert_allclose(out, ref, atol=tol)
 
     def test_kernel_matches_reference_ragged_mask(self):
         qkv, scale, bias, proj = self._inputs()

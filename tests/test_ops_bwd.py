@@ -57,6 +57,24 @@ class TestFavorQKVBackward:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4, rtol=2e-4, err_msg=name)
 
+    def test_mxu_bf16_mode_tracks_reference_vjp(self, monkeypatch):
+        """FAVOR_MXU_BF16=1: matmul operands rounded to bf16 inside the
+        backward kernel (f32 accumulation). Grads must track the f32
+        reference VJP to ~1-2% of each gradient's scale — the tolerance
+        for the single-MXU-pass training A/B."""
+        monkeypatch.setenv("FAVOR_MXU_BF16", "1")
+        qkv, scale, bias, proj, g = self._inputs()
+        mask = (jnp.arange(12)[None, :]
+                < jnp.asarray([12, 7])[:, None]).astype(jnp.float32)
+        ref = self._reference_grads(qkv, scale, bias, proj, mask, g)
+        out = favor_qkv_bwd_pallas(qkv, scale, bias, proj, mask, g,
+                                   interpret=True)
+        for name, a, b in zip(("dqkv", "dscale", "dbias", "dproj"), out, ref):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            assert np.isfinite(a).all(), name
+            tol = 2e-2 * max(np.abs(b).max(), 1e-3)
+            np.testing.assert_allclose(a, b, atol=tol, err_msg=name)
+
     def test_bf16_activations(self):
         """bf16 qkv/g (the flagship compute dtype): grads land in bf16 for
         activations, f32 for the shared LN params."""

@@ -496,14 +496,16 @@ class TestEMAAndLRSchedule:
         """ema_{k+1} = d*ema_k + (1-d)*params_{k+1}, ema_0 = params_0."""
         d = 0.5
         _, state, step, batch = self._setup(ema_decay=d)
-        ema = jax.device_get(state.ema_params)
-        assert ema is not None
+        assert state.ema_params is not None
+        # EMA covers exactly the 'params' collection (not sown aux)
+        assert set(state.ema_params.keys()) == {"params"}
+        ema = jax.device_get(state.ema_params["params"])
         for i in range(2):
             state, _ = step(state, batch, jax.random.key(10 + i))
-            p = jax.device_get(state.params)
+            p = jax.device_get(state.params["params"])
             ema = jax.tree_util.tree_map(
                 lambda e, q: d * e + (1 - d) * q, ema, p)
-            got = jax.device_get(state.ema_params)
+            got = jax.device_get(state.ema_params["params"])
             for a, b in zip(jax.tree_util.tree_leaves(ema),
                             jax.tree_util.tree_leaves(got)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -511,7 +513,8 @@ class TestEMAAndLRSchedule:
         # EMA lags the raw weights (it still holds mass on the init point)
         diffs = jax.tree_util.tree_map(
             lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
-            jax.device_get(state.params), jax.device_get(state.ema_params))
+            jax.device_get(state.params["params"]),
+            jax.device_get(state.ema_params["params"]))
         assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
     @pytest.mark.slow
@@ -527,6 +530,50 @@ class TestEMAAndLRSchedule:
         for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
                         jax.tree_util.tree_leaves(restored.ema_params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.slow
+    def test_ema_dropped_on_resume_without_flag_warns(self, tmp_path, capsys):
+        """Resuming an EMA run with ema_decay=0 must not be silent: the
+        accumulated EMA weights are discarded, and the user is told."""
+        _, state, step, batch = self._setup(ema_decay=0.9)
+        state, _ = step(state, batch, jax.random.key(5))
+        mngr = CheckpointManager(str(tmp_path / "ckpt"))
+        mngr.save(1, state, epoch=0)
+        mngr.wait()
+        _, template, _, _ = self._setup()  # ema off
+        assert template.ema_params is None
+        restored, _ = mngr.restore(template)
+        mngr.close()
+        assert restored.ema_params is None
+        assert "EMA weights are DROPPED" in capsys.readouterr().out
+        # the raw weights still restore exactly
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_select_params_ema_is_full_variables_dict(self):
+        """select_params(use_ema=True) must be a drop-in for .params:
+        same collections, with only 'params' swapped for the EMA tree."""
+        from motiondiffusion_moe_tpu.training import select_params
+        _, state, _, _ = self._setup(ema_decay=0.9)
+        out = select_params(state, use_ema=True)
+        assert set(out.keys()) == set(state.params.keys())
+        assert out["params"] is state.ema_params["params"]
+
+    @pytest.mark.slow
+    def test_restore_mismatch_error_carries_detail(self, tmp_path):
+        """A resume whose template diverges structurally from the saved run
+        (here: adding an lr schedule, which grows the opt_state) must
+        surface the underlying orbax errors, not an opaque one-liner."""
+        _, state, step, batch = self._setup()
+        state, _ = step(state, batch, jax.random.key(3))
+        mngr = CheckpointManager(str(tmp_path / "ckpt"))
+        mngr.save(1, state, epoch=0)
+        mngr.wait()
+        _, template, _, _ = self._setup(lr_warmup_steps=7)
+        with pytest.raises(ValueError, match="Per-layout errors"):
+            mngr.restore(template)
+        mngr.close()
 
     @pytest.mark.slow
     def test_lr_warmup_first_step_is_noop(self):
