@@ -178,6 +178,17 @@ class TrainConfig:
     # the fixed per-dispatch host/control-plane cost. 1 = step-per-call
     # (the reference's Python-loop cadence).
     steps_per_call: int = 1
+    # Gradient accumulation: split each optimizer batch into this many
+    # sequential microbatches (lax.scan) and average their grads before
+    # the single update — activation memory drops ~A-fold at the same
+    # optimizer batch, enabling batch sizes past HBM. batch_size must be
+    # divisible by it. Each microbatch normalizes its own loss (mask sum,
+    # MoE aux), so the accumulated gradient is the mean of microbatch
+    # gradients — exactly the reference's DDP semantics across ranks
+    # (per-rank loss + all-reduce mean, tools/train.py:140-145), which
+    # differs from the single-batch global-mask-sum loss only for ragged
+    # lengths. 1 = off.
+    grad_accum_steps: int = 1
     # PRNG impl for the TRAINING rng stream (dropout masks, noise draws).
     # "rbg" uses the TPU's native RngBitGenerator: measured 168 -> 91 ms
     # per flagship train step vs threefry (~250 dropout sites each paying

@@ -57,6 +57,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="optimizer steps per compiled call (lax.scan inner "
                         "loop; amortizes per-dispatch host cost)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer "
+                        "update (batch_size must divide evenly; cuts "
+                        "activation memory ~A-fold)")
     p.add_argument("--rng_impl", default="rbg",
                    choices=["rbg", "threefry"],
                    help="training PRNG: rbg = TPU-native RngBitGenerator "
@@ -156,6 +160,7 @@ def config_from_args(args: argparse.Namespace):
                           num_epochs=args.num_epochs, lr=args.lr,
                           seed=args.seed,
                           steps_per_call=args.steps_per_call,
+                          grad_accum_steps=args.grad_accum,
                           rng_impl=args.rng_impl,
                           adam_mu_dtype=args.adam_mu_dtype,
                           adam_nu_dtype=args.adam_nu_dtype,

@@ -261,7 +261,11 @@ def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
 
     Batch dict: ``motion`` [B,T,D] (normalized), ``length`` [B],
     ``text_ids`` [B,N], ``t`` [B] (schedule-sampler output), ``t_weight``
-    [B] (importance weights; all-ones for uniform).
+    [B] (importance weights; all-ones for uniform). With
+    ``train.grad_accum_steps = A > 1`` every leaf instead carries a leading
+    microbatch axis ([A, B/A, ...], host-chunked — see ``Trainer._chunk``)
+    and the step performs ONE optimizer update from the A averaged
+    microbatch gradients.
     Returns ``(new_state, metrics)`` where metrics includes the per-sample
     frame-MSE means needed to update loss-aware samplers host-side.
     """
@@ -346,10 +350,7 @@ def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
         metrics["per_sample_mse"] = per_sample
         return total, metrics
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rng: jax.Array):
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, rng)
+    def apply_update(state: TrainState, grads, metrics):
         # same graph as the clip's norm -> XLA CSEs it away to zero cost
         metrics["grad_norm"] = grouped_global_norm(grads)
         new_state = state.apply_gradients(grads)
@@ -361,6 +362,51 @@ def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
                     state.ema_params["params"],
                     new_state.params["params"])})
         return new_state, metrics
+
+    accum = max(1, tc.grad_accum_steps)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        return apply_update(state, grads, metrics)
+
+    def accum_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                         rng: jax.Array):
+        """One optimizer update from ``accum`` sequential microbatches.
+
+        ``batch`` leaves carry a leading [A, B/A, ...] microbatch axis
+        (host-chunked by the Trainer so the batch axis stays data-sharded
+        within each chunk — an in-graph reshape of a sharded axis would
+        re-sort the samples across devices). Grads are averaged in the
+        params' dtype (f32); each microbatch draws its own rng key, so
+        noise/dropout are decorrelated across chunks.
+        """
+        keys = jax.random.split(rng, accum)
+
+        def body(g_acc, xs):
+            chunk, key = xs
+            (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, chunk, key)
+            g_acc = jax.tree_util.tree_map(
+                lambda a, b: a + b / accum, g_acc, g)
+            return g_acc, m
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        grads, stacked = jax.lax.scan(body, zeros, (batch, keys))
+        metrics = {}
+        for k, v in stacked.items():
+            if k == "per_sample_mse":
+                # [A, B/A] -> [B], the exact inverse of the host chunking,
+                # so loss-aware samplers see per-sample losses in the
+                # original batch order
+                metrics[k] = v.reshape(-1)
+            else:
+                metrics[k] = jnp.mean(v, axis=0)
+        return apply_update(state, grads, metrics)
+
+    if accum > 1:
+        train_step = accum_train_step
 
     if not jit:
         # raw fn for callers that apply their own jit + shardings

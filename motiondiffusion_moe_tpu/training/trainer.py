@@ -47,15 +47,23 @@ class Trainer:
                  normalizer_stats=None,
                  logger: Optional[MetricsLogger] = None):
         self.cfg = cfg
+        self.accum = max(1, cfg.train.grad_accum_steps)
+        if cfg.train.batch_size % self.accum != 0:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} not divisible by "
+                f"grad_accum_steps {self.accum}")
         self.mesh = self._maybe_make_mesh(cfg)
         if self.mesh is not None:
             from motiondiffusion_moe_tpu.parallel.pipeline_parallel import (
                 validate_pp_layout)
+            # under accumulation the pipeline sees one microbatch (B/A) at
+            # a time, so THAT is the batch the PP layout must divide
             validate_pp_layout(
-                self.mesh, cfg.model.num_layers, cfg.train.batch_size,
+                self.mesh, cfg.model.num_layers,
+                cfg.train.batch_size // self.accum,
                 cfg.model.pipeline_microbatches,
-                fix_hint=("; adjust --batch_size / --pp_microbatches / "
-                          "--num_layers"))
+                fix_hint=("; adjust --batch_size / --grad_accum / "
+                          "--pp_microbatches / --num_layers"))
         sharded_axes = self.mesh is not None and (
             self.mesh.shape.get(EXPERT_AXIS, 1) > 1
             or self.mesh.shape.get(MODEL_AXIS, 1) > 1)
@@ -171,6 +179,23 @@ class Trainer:
             "t_weight": jnp.asarray(w),
         }
 
+    def _chunk(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """[B, ...] -> [A, B/A, ...] for gradient accumulation (contiguous
+        split, so the step's per_sample_mse reshape restores batch order).
+        Chunking happens HOST-side, before shard_batch, so each microbatch
+        arrives data-sharded on its own batch axis."""
+        if self.accum <= 1:
+            return batch
+        A = self.accum
+        B = batch["motion"].shape[0]
+        if B % A != 0:
+            raise ValueError(
+                f"ragged batch of {B} not divisible by grad_accum_steps "
+                f"{A}; use a loader with equal batch sizes (the built-in "
+                "distributed loader round-up-pads)")
+        return {k: v.reshape(A, B // A, *v.shape[1:])
+                for k, v in batch.items()}
+
     def _update_sampler(self, batch, metrics) -> None:
         if isinstance(self.sampler, LossAwareSampler):
             self.sampler.update_with_local_losses(
@@ -200,11 +225,13 @@ class Trainer:
             # restore happens above on host/default placement; this places
             # the (possibly restored) state per the mesh sharding rules and
             # jits the step with explicit in/out shardings.
+            lead = 1 if self.accum > 1 else 0   # the [A, ...] microbatch axis
             step_fn, state = make_sharded_train_step(
-                self.train_step, state, self.mesh)
+                self.train_step, state, self.mesh, batch_leading_dims=lead)
             if self.multi_step is not None:
                 multi_fn, state = make_sharded_train_step(
-                    self.multi_step, state, self.mesh, batch_leading_dims=1)
+                    self.multi_step, state, self.mesh,
+                    batch_leading_dims=1 + lead)
             else:
                 multi_fn = None
             print(f"[trainer] mesh {dict(self.mesh.shape)} "
@@ -245,10 +272,12 @@ class Trainer:
                 chunk = [pending.pop(0) for _ in range(K)]
                 rng, key = jax.random.split(rng)
                 stacked = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *chunk)
+                    lambda *xs: jnp.stack(xs),
+                    *[self._chunk(c) for c in chunk])
                 if self.mesh is not None:
-                    stacked = shard_batch(stacked, self.mesh,
-                                          leading_dims=1)
+                    stacked = shard_batch(
+                        stacked, self.mesh,
+                        leading_dims=1 + (1 if self.accum > 1 else 0))
                 prev = it
                 state, ms = multi_fn(state, stacked, key)
                 it = int(state.step)
@@ -264,8 +293,11 @@ class Trainer:
                 while pending:
                     sub_batch = pending.pop(0)
                     rng, key = jax.random.split(rng)
-                    b = (shard_batch(sub_batch, self.mesh)
-                         if self.mesh is not None else sub_batch)
+                    b = self._chunk(sub_batch)
+                    if self.mesh is not None:
+                        b = shard_batch(
+                            b, self.mesh,
+                            leading_dims=1 if self.accum > 1 else 0)
                     prev = it
                     state, metrics = step_fn(state, b, key)
                     it = int(state.step)
@@ -298,10 +330,12 @@ class Trainer:
                     continue
 
                 rng, k1, k2 = jax.random.split(rng, 3)
+                b = self._chunk(batch)
                 if self.mesh is not None:
-                    batch = shard_batch(batch, self.mesh)
+                    b = shard_batch(b, self.mesh,
+                                    leading_dims=1 if self.accum > 1 else 0)
                 prev = it
-                state, metrics = step_fn(state, batch, k1)
+                state, metrics = step_fn(state, b, k1)
                 self._update_sampler(batch, metrics)
                 logs = OrderedDict(
                     (k, float(v)) for k, v in metrics.items()
@@ -312,9 +346,12 @@ class Trainer:
                     # 319-333): same compiled fn, empty captions
                     uncond = self._make_batch([""] * len(captions), motions,
                                               lengths)
+                    ub = self._chunk(uncond)
                     if self.mesh is not None:
-                        uncond = shard_batch(uncond, self.mesh)
-                    state, umetrics = step_fn(state, uncond, k2)
+                        ub = shard_batch(
+                            ub, self.mesh,
+                            leading_dims=1 if self.accum > 1 else 0)
+                    state, umetrics = step_fn(state, ub, k2)
                     self._update_sampler(uncond, umetrics)
                     for k, v in umetrics.items():
                         if np.ndim(v) == 0:

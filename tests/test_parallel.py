@@ -219,3 +219,42 @@ class TestTensorParallel:
         assert tr.mesh.shape[MODEL_AXIS] == 2
         # EP active -> trainer must have switched off dense_fused
         assert tr.cfg.model.moe_compute == "dense"
+
+
+class TestShardedGradAccum:
+    @pytest.mark.slow
+    def test_sharded_accum_matches_single_device(self):
+        """grad_accum_steps=2 under a DP mesh (batch_leading_dims=1, each
+        microbatch data-sharded on its own batch axis) computes the same
+        update as the unsharded accumulation step."""
+        import dataclasses as _dc
+        cfg = tiny_cfg(8)
+        cfg = _dc.replace(cfg, train=_dc.replace(cfg.train,
+                                                 grad_accum_steps=2))
+        model = MotionTransformer(config=cfg.model)
+        sched = make_schedule(schedule_name="linear", num_timesteps=100)
+        raw = make_train_step(model, sched, cfg, jit=False)
+        batch_np = make_batch(8)
+        chunked = {k: v.reshape(2, 4, *v.shape[1:])
+                   for k, v in batch_np.items()}
+
+        state1 = create_train_state(model, cfg, jax.random.key(0))
+        state1, metrics1 = jax.jit(raw)(state1, chunked, jax.random.key(1))
+        loss1 = float(metrics1["loss_total"])
+        assert int(state1.step) == 1
+
+        state2 = create_train_state(model, cfg, jax.random.key(0))
+        mesh = make_mesh(8, expert_parallel=2)
+        with mesh:
+            step, sstate = make_sharded_train_step(raw, state2, mesh,
+                                                   batch_leading_dims=1)
+            batch = shard_batch(chunked, mesh, leading_dims=1)
+            new_state, metrics2 = step(sstate, batch, jax.random.key(1))
+        assert loss1 == pytest.approx(float(metrics2["loss_total"]), rel=1e-5)
+        np.testing.assert_allclose(np.asarray(metrics1["per_sample_mse"]),
+                                   np.asarray(metrics2["per_sample_mse"]),
+                                   atol=1e-5)
+        for x, y in zip(
+                jax.tree_util.tree_leaves(jax.device_get(state1.params)),
+                jax.tree_util.tree_leaves(jax.device_get(new_state.params))):
+            np.testing.assert_allclose(x, y, atol=1e-5)
