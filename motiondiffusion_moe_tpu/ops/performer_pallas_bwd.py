@@ -213,11 +213,17 @@ def favor_qkv_bwd_pallas(qkv, ln_scale, ln_bias, projection, mask, g,
         maskf = mask.astype(jnp.float32).reshape(B, T, 1)
 
     import os
+    # FAVOR_MXU_BF16 only takes effect when the FORWARD applied it too
+    # (the v2 kernel path — performer_pallas.py:504-511): the backward
+    # recomputes the forward intermediates, and rounding them differently
+    # from the loss actually computed would make the clip pass-through
+    # masks (|logit| near 15) and every downstream VJP term inconsistent.
+    mxu_bf16 = (os.environ.get("FAVOR_MXU_BF16", "0") == "1"
+                and os.environ.get("FAVOR_QKV_V2", "1") != "0")
     dx, ds, dc, dp = pl.pallas_call(
         functools.partial(
             _favor_qkv_bwd_kernel, eps=eps, pre_scale=pre_scale,
-            num_heads=H,
-            mxu_bf16=os.environ.get("FAVOR_MXU_BF16", "0") == "1"),
+            num_heads=H, mxu_bf16=mxu_bf16),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, HD3), qkv.dtype),
             jax.ShapeDtypeStruct((1, D), jnp.float32),

@@ -124,6 +124,21 @@ class GenerationPipeline:
             self.timestep_map = None
         self._compiled = None
 
+    @classmethod
+    def from_export(cls, export_dir: str, **kwargs) -> "GenerationPipeline":
+        """Build a pipeline from a serving artifact written by
+        ``tools/export.py`` — no Trainer, no optimizer state, no orbax
+        template. The export's normalizer rides along as
+        ``pipeline.normalizer`` (use ``normalizer.denormalize_np`` on
+        generated motions before joint recovery). Extra kwargs go to the
+        constructor (sampler, micro_batch, mesh, ...)."""
+        from motiondiffusion_moe_tpu.tools.export import load_export
+
+        cfg, params, normalizer = load_export(export_dir)
+        pipe = cls(cfg, params=params, **kwargs)
+        pipe.normalizer = normalizer
+        return pipe
+
     # ------------------------------------------------------------------
     def _place_params(self, params):
         """Optionally cast to the serving dtype, then place params per the

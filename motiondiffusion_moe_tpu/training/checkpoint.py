@@ -112,9 +112,16 @@ class CheckpointManager:
         #   store "rng" at its natural (2,) threefry width, no "rng_width"
         restored = None
         errors = []
-        for rng_shape, with_width, with_ema in (
-                ((4,), True, True), ((4,), True, False),
-                ((2,), False, False)):
+        # try the layout matching the LIVE template's EMA setting first:
+        # the common non-EMA resume then succeeds on attempt one instead of
+        # paying a guaranteed-failing with-EMA restore
+        if getattr(state_template, "ema_params", None) is not None:
+            variants = (((4,), True, True), ((4,), True, False),
+                        ((2,), False, False))
+        else:
+            variants = (((4,), True, False), ((4,), True, True),
+                        ((2,), False, False))
+        for rng_shape, with_width, with_ema in variants:
             try:
                 restored = self._mngr.restore(
                     step, args=ocp.args.StandardRestore(

@@ -48,6 +48,10 @@ class Trainer:
                  logger: Optional[MetricsLogger] = None):
         self.cfg = cfg
         self.accum = max(1, cfg.train.grad_accum_steps)
+        # the [A, ...] microbatch axis _chunk prepends when accumulating —
+        # shard_batch / make_sharded_train_step must agree on it everywhere
+        self._lead = 1 if self.accum > 1 else 0
+        self._warned_ragged = False
         if cfg.train.batch_size % self.accum != 0:
             raise ValueError(
                 f"batch_size {cfg.train.batch_size} not divisible by "
@@ -142,10 +146,17 @@ class Trainer:
         assert n >= 1 and n <= ndev, (
             f"parallel config wants {n} devices (dp={dp} x sp={sp} x "
             f"pp={pp} x ep={ep} x tp={tp}), have {ndev}")
-        if cfg.train.batch_size % (n // deg) != 0:
+        # under gradient accumulation the array that actually carries the
+        # sharded batch axis is ONE microbatch (B/A), so that is what the
+        # data axis must divide
+        accum = max(1, cfg.train.grad_accum_steps)
+        micro = cfg.train.batch_size // accum
+        if micro % (n // deg) != 0:
             raise ValueError(
-                f"global batch {cfg.train.batch_size} not divisible by the "
-                f"data axis ({n // deg})")
+                f"microbatch {micro} (batch_size {cfg.train.batch_size} / "
+                f"grad_accum_steps {accum}) not divisible by the data axis "
+                f"({n // deg}); adjust --batch_size / --grad_accum / "
+                "--data_parallel")
         return make_mesh(n, expert_parallel=ep, tensor_parallel=tp,
                          seq_parallel=sp, pipeline_parallel=pp)
 
@@ -161,8 +172,15 @@ class Trainer:
             # after optimizer init is exact
             from motiondiffusion_moe_tpu.models.deberta import (
                 graft_pretrained_text_encoder)
-            state = state.replace(params=graft_pretrained_text_encoder(
-                state.params, self.cfg.model))
+            grafted = graft_pretrained_text_encoder(
+                state.params, self.cfg.model)
+            # the EMA copy was snapshotted at create_train_state time, i.e.
+            # BEFORE the graft: refresh it too, or --use_ema sampling would
+            # keep ~d^steps weight on the random pre-graft text encoder
+            ema = state.ema_params
+            if ema is not None:
+                ema = {"params": grafted["params"]}
+            state = state.replace(params=grafted, ema_params=ema)
         return state
 
     def _make_batch(self, captions, motions, lengths) -> Dict[str, jnp.ndarray]:
@@ -189,10 +207,17 @@ class Trainer:
         A = self.accum
         B = batch["motion"].shape[0]
         if B % A != 0:
-            raise ValueError(
-                f"ragged batch of {B} not divisible by grad_accum_steps "
-                f"{A}; use a loader with equal batch sizes (the built-in "
-                "distributed loader round-up-pads)")
+            # ragged tail from a drop_last=False loader (the built-in
+            # distributed loader round-up-pads, so only custom loaders hit
+            # this): run the tail as ONE unaccumulated update rather than
+            # killing the run at epoch end
+            if not self._warned_ragged:
+                self._warned_ragged = True
+                print(f"[trainer] ragged tail batch of {B} not divisible "
+                      f"by grad_accum_steps {A}; running it as a single "
+                      "unaccumulated update")
+            return {k: v.reshape(1, B, *v.shape[1:])
+                    for k, v in batch.items()}
         return {k: v.reshape(A, B // A, *v.shape[1:])
                 for k, v in batch.items()}
 
@@ -225,13 +250,13 @@ class Trainer:
             # restore happens above on host/default placement; this places
             # the (possibly restored) state per the mesh sharding rules and
             # jits the step with explicit in/out shardings.
-            lead = 1 if self.accum > 1 else 0   # the [A, ...] microbatch axis
             step_fn, state = make_sharded_train_step(
-                self.train_step, state, self.mesh, batch_leading_dims=lead)
+                self.train_step, state, self.mesh,
+                batch_leading_dims=self._lead)
             if self.multi_step is not None:
                 multi_fn, state = make_sharded_train_step(
                     self.multi_step, state, self.mesh,
-                    batch_leading_dims=1 + lead)
+                    batch_leading_dims=1 + self._lead)
             else:
                 multi_fn = None
             print(f"[trainer] mesh {dict(self.mesh.shape)} "
@@ -275,9 +300,8 @@ class Trainer:
                     lambda *xs: jnp.stack(xs),
                     *[self._chunk(c) for c in chunk])
                 if self.mesh is not None:
-                    stacked = shard_batch(
-                        stacked, self.mesh,
-                        leading_dims=1 + (1 if self.accum > 1 else 0))
+                    stacked = shard_batch(stacked, self.mesh,
+                                          leading_dims=1 + self._lead)
                 prev = it
                 state, ms = multi_fn(state, stacked, key)
                 it = int(state.step)
@@ -297,7 +321,7 @@ class Trainer:
                     if self.mesh is not None:
                         b = shard_batch(
                             b, self.mesh,
-                            leading_dims=1 if self.accum > 1 else 0)
+                            leading_dims=self._lead)
                     prev = it
                     state, metrics = step_fn(state, b, key)
                     it = int(state.step)
@@ -333,7 +357,7 @@ class Trainer:
                 b = self._chunk(batch)
                 if self.mesh is not None:
                     b = shard_batch(b, self.mesh,
-                                    leading_dims=1 if self.accum > 1 else 0)
+                                    leading_dims=self._lead)
                 prev = it
                 state, metrics = step_fn(state, b, k1)
                 self._update_sampler(batch, metrics)
@@ -350,7 +374,7 @@ class Trainer:
                     if self.mesh is not None:
                         ub = shard_batch(
                             ub, self.mesh,
-                            leading_dims=1 if self.accum > 1 else 0)
+                            leading_dims=self._lead)
                     state, umetrics = step_fn(state, ub, k2)
                     self._update_sampler(uncond, umetrics)
                     for k, v in umetrics.items():

@@ -103,6 +103,31 @@ class TestGraft:
                 err_msg="/".join(k))
 
     @pytest.mark.slow
+    def test_graft_refreshes_ema(self, tmp_path):
+        """The EMA snapshot is taken at create_train_state time — BEFORE
+        the graft. init_state must refresh it, or --use_ema sampling would
+        keep ~decay^steps weight on the random pre-graft text encoder."""
+        from motiondiffusion_moe_tpu.training import Trainer
+
+        import flax
+
+        ckpt_dir = str(tmp_path / "hf")
+        _save_tiny_hf_checkpoint(ckpt_dir)
+        cfg = _tiny_deberta_cfg(ckpt=ckpt_dir)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, ema_decay=0.999))
+
+        state = Trainer(cfg).init_state()
+        p = flax.traverse_util.flatten_dict(
+            state.params["params"]["text_encoder"]["bert"])
+        e = flax.traverse_util.flatten_dict(
+            state.ema_params["params"]["text_encoder"]["bert"])
+        assert set(p) == set(e)
+        for k in p:
+            np.testing.assert_array_equal(np.asarray(e[k]), np.asarray(p[k]),
+                                          err_msg="/".join(k))
+
+    @pytest.mark.slow
     def test_no_ckpt_warns_and_random_inits(self):
         from motiondiffusion_moe_tpu.training import Trainer
 

@@ -696,6 +696,39 @@ class TestGradAccum:
         with pytest.raises(ValueError, match="divisible"):
             Trainer(cfg)
 
+    def test_microbatch_must_divide_data_axis(self):
+        """The sharded array carries ONE microbatch (B/A) on its batch
+        axis; validation must check that, not the pre-chunk global batch.
+        B=16 A=4 dp=8: 16%8==0 but the microbatch of 4 can't split 8 ways
+        — this must fail EARLY with the --grad_accum hint, not as an
+        opaque sharding error at step one."""
+        import dataclasses as _dc
+        cfg = tiny_config()
+        cfg = _dc.replace(
+            cfg,
+            train=_dc.replace(cfg.train, batch_size=16, grad_accum_steps=4),
+            parallel=_dc.replace(cfg.parallel, num_data_partitions=8))
+        with pytest.raises(ValueError, match="microbatch 4"):
+            Trainer(cfg)
+
+    def test_ragged_tail_runs_unaccumulated(self, capsys):
+        """A drop_last=False tail that doesn't divide grad_accum_steps
+        degrades to ONE unaccumulated update (leading axis 1), not a
+        mid-training ValueError."""
+        import dataclasses as _dc
+        cfg = tiny_config()
+        cfg = _dc.replace(cfg, train=_dc.replace(cfg.train,
+                                                 grad_accum_steps=2))
+        trainer = Trainer(cfg)
+        ragged = {"motion": jnp.zeros((3, 16, 26)),
+                  "length": jnp.full((3,), 16, jnp.int32)}
+        out = trainer._chunk(ragged)
+        assert out["motion"].shape == (1, 3, 16, 26)
+        assert "unaccumulated" in capsys.readouterr().out
+        # divisible batches still chunk to [A, B/A, ...]
+        full = {"motion": jnp.zeros((4, 16, 26))}
+        assert trainer._chunk(full)["motion"].shape == (2, 2, 16, 26)
+
     @pytest.mark.slow
     def test_trainer_e2e_with_accum(self, tmp_path):
         """Full CLI run with --grad_accum 2 (+ the uncond double step and
