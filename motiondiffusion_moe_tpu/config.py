@@ -157,6 +157,12 @@ class ParallelConfig:
     # single-device on the CPU backend so unit tests don't silently shard),
     # 1 = force unsharded, N>1 = force an N-way data axis.
     num_data_partitions: int = 0
+    # ZeRO-1: shard the Adam moments and the EMA weights over the data
+    # axis (each data-parallel device stores and updates 1/dp of the
+    # optimizer state; GSPMD lowers the gradient all-reduce into
+    # reduce-scatter + sharded update + update all-gather). Params stay
+    # data-replicated, so forward/backward programs are unchanged.
+    zero1: bool = False
     fsdp_axis: Optional[str] = None    # reserved (model is small)
 
 

@@ -138,6 +138,27 @@ def _param_spec(pstr: str, leaf, ep: int, tp: int, pp: int = 1) -> P:
     return spec()
 
 
+def _zero1_spec(spec: P, shape, dp: int) -> P:
+    """Add the 'data' axis to the first unsharded, dp-divisible dim.
+
+    ZeRO-1: optimizer moments (and EMA weights) are read/written only by
+    the elementwise update, so unlike params they never need to be whole
+    on any device — sharding them over 'data' cuts their per-device HBM
+    ~dp-fold, and GSPMD turns the gradient all-reduce into a
+    reduce-scatter feeding a sharded update plus one all-gather of the
+    updates (the ZeRO-1 communication pattern), instead of every device
+    redundantly running the full Adam update.
+    """
+    if dp <= 1 or not shape:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    for i, (ax, dim) in enumerate(zip(entries, shape)):
+        if ax is None and dim % dp == 0:
+            entries[i] = DATA_AXIS
+            return P(*entries)
+    return spec
+
+
 def param_shardings(params: Any, mesh: Mesh) -> Any:
     """NamedSharding pytree per the DP x EP x TP (x PP) rules (see module
     doc)."""
@@ -166,7 +187,8 @@ def shard_batch(batch: Any, mesh: Mesh, leading_dims: int = 0) -> Any:
 
 def make_sharded_train_step(train_step: Callable, state: Any,
                             mesh: Mesh,
-                            batch_leading_dims: int = 0
+                            batch_leading_dims: int = 0,
+                            zero1: bool = False
                             ) -> Tuple[Callable, Any]:
     """Wrap a (state, batch, rng) train step with mesh shardings.
 
@@ -179,16 +201,26 @@ def make_sharded_train_step(train_step: Callable, state: Any,
     ``batch_leading_dims``: number of unsharded axes BEFORE the batch axis
     in every batch leaf — 1 for the stacked [K, B, ...] batches of
     :func:`training.make_multi_train_step`.
+
+    ``zero1``: additionally shard the optimizer moments and the EMA
+    weights over the 'data' axis (see :func:`_zero1_spec`). Params keep
+    their own (data-replicated) shardings, so the forward/backward is
+    unchanged; only the update's memory and math are data-partitioned.
     """
     replicated = NamedSharding(mesh, P())
     ep = mesh.shape.get(EXPERT_AXIS, 1)
     tp = mesh.shape.get(MODEL_AXIS, 1)
     pp = mesh.shape.get(PIPE_AXIS, 1)
+    dp = mesh.shape.get(DATA_AXIS, 1)
 
     def rule(path, leaf):
         """Param shardings mirror into the adam moments (same tree paths)."""
         pstr = jax.tree_util.keystr(path)
-        return NamedSharding(mesh, _param_spec(pstr, leaf, ep, tp, pp))
+        spec = _param_spec(pstr, leaf, ep, tp, pp)
+        if zero1 and pstr.startswith((".opt_state", ".ema_params")) \
+                and hasattr(leaf, "shape"):
+            spec = _zero1_spec(spec, leaf.shape, dp)
+        return NamedSharding(mesh, spec)
 
     state_shardings = jax.tree_util.tree_map_with_path(
         rule, state, is_leaf=lambda x: isinstance(x, jax.Array))

@@ -109,6 +109,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         " only)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="GPipe microbatches (0 = 2x the PP degree)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard Adam moments + EMA over the data"
+                        " axis (reduce-scatter grads, sharded update,"
+                        " all-gather updates)")
     p.add_argument("--synthetic_size", type=int, default=256,
                    help="synthetic dataset size (dataset=synthetic)")
     p.add_argument("--no_native_io", action="store_true",
@@ -155,7 +159,8 @@ def config_from_args(args: argparse.Namespace):
                                 num_model_partitions=args.tensor_parallel,
                                 num_data_partitions=args.data_parallel,
                                 num_seq_partitions=args.seq_parallel,
-                                num_pipeline_stages=args.pipeline_parallel),
+                                num_pipeline_stages=args.pipeline_parallel,
+                                zero1=args.zero1),
         train=TrainConfig(batch_size=args.batch_size,
                           num_epochs=args.num_epochs, lr=args.lr,
                           seed=args.seed,

@@ -252,11 +252,13 @@ class Trainer:
             # jits the step with explicit in/out shardings.
             step_fn, state = make_sharded_train_step(
                 self.train_step, state, self.mesh,
-                batch_leading_dims=self._lead)
+                batch_leading_dims=self._lead,
+                zero1=cfg.parallel.zero1)
             if self.multi_step is not None:
                 multi_fn, state = make_sharded_train_step(
                     self.multi_step, state, self.mesh,
-                    batch_leading_dims=1 + self._lead)
+                    batch_leading_dims=1 + self._lead,
+                    zero1=cfg.parallel.zero1)
             else:
                 multi_fn = None
             print(f"[trainer] mesh {dict(self.mesh.shape)} "

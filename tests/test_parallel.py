@@ -221,6 +221,80 @@ class TestTensorParallel:
         assert tr.cfg.model.moe_compute == "dense"
 
 
+class TestZero1:
+    """ZeRO-1: Adam moments + EMA sharded over 'data'
+    (``parallel.mesh._zero1_spec``)."""
+
+    def test_zero1_spec_unit(self):
+        from jax.sharding import PartitionSpec as P
+        from motiondiffusion_moe_tpu.parallel.mesh import _zero1_spec
+        # first unsharded divisible dim gets 'data'
+        assert _zero1_spec(P(), (8, 3), 4) == P("data", None)
+        # dim0 taken by 'expert' -> falls to dim1
+        assert _zero1_spec(P("expert", None, "model"), (4, 8, 6), 4) \
+            == P("expert", "data", "model")
+        # indivisible everywhere -> unchanged
+        assert _zero1_spec(P(), (3, 5), 4) == P()
+        # scalar / dp=1 -> unchanged
+        assert _zero1_spec(P(), (), 4) == P()
+        assert _zero1_spec(P(), (8,), 1) == P()
+        # spec shorter than rank (trailing dims implicitly None)
+        assert _zero1_spec(P("expert"), (4, 8), 4) == P("expert", "data")
+
+    @pytest.mark.slow
+    def test_zero1_matches_single_device_and_shards_moments(self):
+        """zero1=True computes the same updated params/EMA as the unsharded
+        step (reduce-scatter + sharded update + all-gather is a layout, not
+        a semantic) AND actually data-shards the moment/EMA storage."""
+        import dataclasses as _dc
+        cfg = tiny_cfg(8)
+        cfg = _dc.replace(cfg, train=_dc.replace(cfg.train, ema_decay=0.99))
+        model = MotionTransformer(config=cfg.model)
+        sched = make_schedule(schedule_name="linear", num_timesteps=100)
+        raw = make_train_step(model, sched, cfg, jit=False)
+        batch_np = make_batch(8)
+
+        state1 = create_train_state(model, cfg, jax.random.key(0))
+        state1, metrics1 = jax.jit(raw)(state1, batch_np, jax.random.key(1))
+        loss1 = float(metrics1["loss_total"])
+
+        state2 = create_train_state(model, cfg, jax.random.key(0))
+        mesh = make_mesh(8, expert_parallel=2)  # dp=4
+        with mesh:
+            step, sstate = make_sharded_train_step(raw, state2, mesh,
+                                                   zero1=True)
+            # the placed state's moments and EMA are data-sharded...
+            data_sharded = sum(
+                1 for leaf in jax.tree_util.tree_leaves(sstate.opt_state)
+                if hasattr(leaf, "sharding")
+                and DATA_AXIS in jax.tree_util.tree_leaves(
+                    tuple(leaf.sharding.spec)))
+            assert data_sharded > 10, "no moment leaf got a 'data' spec"
+            big = [leaf for leaf in
+                   jax.tree_util.tree_leaves(sstate.ema_params)
+                   if hasattr(leaf, "size") and leaf.size >= 64]
+            assert big, "EMA tree unexpectedly empty"
+            for leaf in big[:5]:
+                shard = leaf.addressable_shards[0].data
+                assert shard.size < leaf.size, (
+                    f"EMA leaf {leaf.shape} not sharded")
+            # ...params stay whole per device (only dp replicates them)
+            for leaf in jax.tree_util.tree_leaves(sstate.params)[:5]:
+                spec = tuple(leaf.sharding.spec)
+                assert DATA_AXIS not in jax.tree_util.tree_leaves(spec)
+
+            batch = shard_batch(batch_np, mesh)
+            new_state, metrics2 = step(sstate, batch, jax.random.key(1))
+        assert loss1 == pytest.approx(float(metrics2["loss_total"]), rel=1e-5)
+        for name, t1, t2 in (("params", state1.params, new_state.params),
+                             ("ema", state1.ema_params,
+                              new_state.ema_params)):
+            for x, y in zip(
+                    jax.tree_util.tree_leaves(jax.device_get(t1)),
+                    jax.tree_util.tree_leaves(jax.device_get(t2))):
+                np.testing.assert_allclose(x, y, atol=1e-5, err_msg=name)
+
+
 class TestShardedGradAccum:
     @pytest.mark.slow
     def test_sharded_accum_matches_single_device(self):

@@ -147,3 +147,24 @@ class TestTrainCLISharded:
         steps = sorted(int(d) for d in os.listdir(run_dir / "ckpt")
                        if d.isdigit())
         assert steps[-1] > 2
+
+    def test_train_resume_zero1(self, tmp_path):
+        """--zero1 trains with data-sharded Adam moments, checkpoints them
+        (orbax saves the assembled global arrays), and resumes cleanly."""
+        from motiondiffusion_moe_tpu.tools.train import main
+
+        args = _cli_args(tmp_path, "z1", epochs=1) + ["--zero1",
+                                                      "--ema_decay", "0.99"]
+        out = io.StringIO()
+        with redirect_stdout(out):
+            main(args)
+        assert "mesh {'data': 4, 'expert': 2, 'model': 1}" in out.getvalue()
+        run_dir = tmp_path / "z1"
+        cfg = ExperimentConfig.load(str(run_dir / "config.json"))
+        assert cfg.parallel.zero1 is True
+
+        out2 = io.StringIO()
+        with redirect_stdout(out2):
+            main(_cli_args(tmp_path, "z1", epochs=2) + ["--zero1",
+                                                        "--ema_decay", "0.99"])
+        assert "resumed from step 2" in out2.getvalue()
