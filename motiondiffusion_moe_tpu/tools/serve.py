@@ -8,12 +8,20 @@ artifact or a training run dir) behind a stdlib ``ThreadingHTTPServer``:
         -> {"motions": [[[...]...]], "shapes": [[len_i, D]], "step_ms": ...}
     GET  /healthz    -> {"ok": true, "model": ..., "sampler": ...}
 
-Requests are serialized through one lock: the pipeline owns a single
-compiled program per shape and the generate call already micro-batches,
-overlapping device compute with host fetches (``pipeline.generate``), so
-one in-flight generation keeps the chip busy; queueing at the HTTP layer
-is the TPU-friendly concurrency model (one program, full MXU occupancy)
-rather than racing dispatches from many threads.
+Concurrency model: one device program at a time (the pipeline owns a
+single compiled program per shape; racing dispatches from many threads
+buys nothing on one chip) — but concurrent requests are not merely
+queued. Requests WITHOUT an explicit ``seed`` flow through a dynamic
+batcher (:class:`_Batcher`): everything that arrives while a generation
+is in flight is coalesced into ONE ``pipe.generate`` call, so concurrent
+single-prompt callers fill real micro-batch slots instead of each paying
+a full padded dispatch (micro_batch=8: eight 1-prompt callers cost one
+8-slot program instead of eight). A lone request is dispatched
+immediately — the coalescing window is the previous call's duration, not
+a timer, so batching adds zero idle latency. Requests WITH a ``seed``
+bypass the batcher and run alone under the device lock: their output is
+a pure function of (texts, lengths, seed), bit-reproducible across
+calls, which merging would break (one shared rng per generate call).
 
 No reference analog (the torch repo serves nothing; closest is
 ``trainers/ddpm_trainer.py:145-199`` driven by hand) — deployment polish
@@ -37,6 +45,72 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class _Batcher:
+    """Dynamic request batching: coalesce queued seedless requests into
+    one ``pipe.generate`` call (see module doc for why this is the
+    TPU-friendly shape). One daemon worker owns the dispatch loop; each
+    HTTP thread blocks on its request's event.
+    """
+
+    def __init__(self, pipe, lock: threading.Lock, max_batch: int):
+        import jax
+
+        self._jax = jax
+        self.pipe = pipe
+        self.lock = lock
+        self.max_batch = max_batch
+        self._cv = threading.Condition()
+        self._queue: list = []
+        self._rng = jax.random.key(int(time.time_ns()) % (2 ** 31))
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, texts, lengths) -> dict:
+        """Enqueue one request; blocks until its batch completes. Returns
+        {"motions": [...], "batched": total prompts in the merged call}
+        or {"error": Exception}."""
+        req = {"texts": texts, "lengths": lengths,
+               "event": threading.Event()}
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify()
+        req["event"].wait()
+        return req
+
+    def _loop(self):  # pragma: no branch - infinite worker
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                # drain whole requests up to max_batch prompts; the rest
+                # wait for the next call (never split one request)
+                batch, n = [], 0
+                while self._queue and (
+                        n + len(self._queue[0]["texts"]) <= self.max_batch
+                        or not batch):
+                    r = self._queue.pop(0)
+                    batch.append(r)
+                    n += len(r["texts"])
+            texts = [t for r in batch for t in r["texts"]]
+            lengths = [l for r in batch for l in r["lengths"]]
+            self._rng, key = self._jax.random.split(self._rng)
+            try:
+                with self.lock:
+                    motions = self.pipe.generate(texts, lengths, rng=key)
+            except Exception as e:  # pre-validated inputs: unexpected
+                for r in batch:
+                    r["error"] = e
+                    r["event"].set()
+                continue
+            ofs = 0
+            for r in batch:
+                k = len(r["texts"])
+                r["motions"] = motions[ofs:ofs + k]
+                r["batched"] = n
+                ofs += k
+                r["event"].set()
+
+
 def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
                 denormalize: bool = True,
                 max_batch: int = 64) -> ThreadingHTTPServer:
@@ -44,12 +118,14 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
 
     ``port=0`` binds an ephemeral port (tests); read it back from
     ``server.server_address[1]``. ``max_batch`` bounds one request's
-    prompt count so a single caller can't queue an unbounded generation.
+    prompt count so a single caller can't queue an unbounded generation
+    (and is the coalescing ceiling of the dynamic batcher).
     """
     import jax
 
     lock = threading.Lock()
     normalizer = getattr(pipe, "normalizer", None)
+    batcher = _Batcher(pipe, lock, max_batch)
 
     class Handler(BaseHTTPRequestHandler):
         # quiet: one access-log line per request goes to stdout via
@@ -90,25 +166,47 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
                 if len(texts) > max_batch:
                     raise ValueError(
                         f"{len(texts)} prompts > max_batch {max_batch}")
-                seed = int(req.get("seed", 0))
+                if len(texts) != len(lengths):
+                    raise ValueError(f"{len(texts)} texts but "
+                                     f"{len(lengths)} lengths")
+                # validate lengths HERE, not inside the merged generate
+                # call — a batched dispatch must never fail on one
+                # request's bad input
+                T = pipe.cfg.model.max_frames
+                for i, l in enumerate(lengths):
+                    if not 1 <= int(l) <= T:
+                        raise ValueError(
+                            f"lengths[{i}]={l} outside [1, max_frames={T}]")
+                seed = req.get("seed")
                 denorm = bool(req.get("denormalize", denormalize))
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, ValueError, TypeError,
+                    json.JSONDecodeError) as e:
                 return self._reply(400, {"error": str(e)})
-            try:
-                t0 = time.perf_counter()
-                with lock:
-                    motions = pipe.generate(texts, lengths,
-                                            rng=jax.random.key(seed))
-                ms = 1e3 * (time.perf_counter() - t0)
-                if denorm and normalizer is not None:
-                    motions = [normalizer.denormalize_np(m) for m in motions]
-                self._reply(200, {
-                    "motions": [np.asarray(m).tolist() for m in motions],
-                    "shapes": [list(np.asarray(m).shape) for m in motions],
-                    "step_ms": round(ms, 2),
-                })
-            except ValueError as e:  # bad lengths etc. from generate()
-                self._reply(400, {"error": str(e)})
+            t0 = time.perf_counter()
+            if seed is None:
+                # dynamic batching: merged with whatever else is queued
+                done = batcher.submit(texts, lengths)
+                if "error" in done:
+                    return self._reply(500, {"error": str(done["error"])})
+                motions, batched = done["motions"], done["batched"]
+            else:
+                # explicit seed: bit-reproducible, runs alone
+                try:
+                    with lock:
+                        motions = pipe.generate(
+                            texts, lengths, rng=jax.random.key(int(seed)))
+                except ValueError as e:
+                    return self._reply(400, {"error": str(e)})
+                batched = len(texts)
+            ms = 1e3 * (time.perf_counter() - t0)
+            if denorm and normalizer is not None:
+                motions = [normalizer.denormalize_np(m) for m in motions]
+            self._reply(200, {
+                "motions": [np.asarray(m).tolist() for m in motions],
+                "shapes": [list(np.asarray(m).shape) for m in motions],
+                "step_ms": round(ms, 2),
+                "batched": batched,
+            })
 
     return ThreadingHTTPServer((host, port), Handler)
 

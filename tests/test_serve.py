@@ -7,6 +7,7 @@ request validation, and the max_batch guard.
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -41,6 +42,107 @@ def server(tmp_path_factory):
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
     srv.shutdown()
+
+
+class FakePipe:
+    """Minimal pipeline stand-in for _Batcher unit tests: records call
+    sizes and can block mid-generate to force deterministic coalescing."""
+
+    def __init__(self):
+        self.calls = []
+        self.gate = threading.Event()
+        self.gate.set()
+        self.entered = threading.Event()
+
+    def generate(self, texts, lengths, rng=None):
+        self.calls.append(len(texts))
+        self.entered.set()
+        assert self.gate.wait(timeout=30)
+        if any(t == "boom" for t in texts):
+            raise RuntimeError("kernel exploded")
+        return [np.full((int(l), 4), i, np.float32)
+                for i, l in enumerate(lengths)]
+
+
+class TestBatcher:
+    def _submit_async(self, batcher, texts, lengths):
+        box = {}
+
+        def run():
+            box.update(batcher.submit(texts, lengths))
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        return t, box
+
+    def test_concurrent_requests_coalesce(self):
+        from motiondiffusion_moe_tpu.tools.serve import _Batcher
+
+        pipe = FakePipe()
+        pipe.gate.clear()  # hold the first generate open
+        b = _Batcher(pipe, threading.Lock(), max_batch=8)
+
+        t1, r1 = self._submit_async(b, ["a"], [3])
+        assert pipe.entered.wait(timeout=10)  # worker is inside call #1
+        t2, r2 = self._submit_async(b, ["b"], [4])
+        t3, r3 = self._submit_async(b, ["c", "d"], [5, 6])
+        deadline = time.time() + 10
+        while len(b._queue) < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert len(b._queue) == 2
+        pipe.gate.set()  # release call #1; #2+#3 merge into call #2
+        for t in (t1, t2, t3):
+            t.join(timeout=30)
+        assert pipe.calls == [1, 3]
+        assert r1["batched"] == 1
+        assert r2["batched"] == 3 and r3["batched"] == 3
+        # results split back per request, in request order
+        assert [m.shape for m in r2["motions"]] == [(4, 4)]
+        assert [m.shape for m in r3["motions"]] == [(5, 4), (6, 4)]
+        # the merged call's outputs are positional: b was index 0, c/d 1/2
+        assert float(r2["motions"][0][0, 0]) == 0.0
+        assert float(r3["motions"][0][0, 0]) == 1.0
+        assert float(r3["motions"][1][0, 0]) == 2.0
+
+    def test_never_splits_and_respects_max_batch(self):
+        from motiondiffusion_moe_tpu.tools.serve import _Batcher
+
+        pipe = FakePipe()
+        pipe.gate.clear()
+        b = _Batcher(pipe, threading.Lock(), max_batch=3)
+        t1, _ = self._submit_async(b, ["a"], [2])
+        assert pipe.entered.wait(timeout=10)
+        t2, r2 = self._submit_async(b, ["b", "c"], [2, 2])
+        t3, r3 = self._submit_async(b, ["d", "e"], [2, 2])
+        deadline = time.time() + 10
+        while len(b._queue) < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        pipe.gate.set()
+        for t in (t1, t2, t3):
+            t.join(timeout=30)
+        # 2+2 > max_batch 3: the second pair must NOT be split into the
+        # first pair's call
+        assert pipe.calls == [1, 2, 2]
+        assert r2["batched"] == 2 and r3["batched"] == 2
+
+    def test_error_reaches_every_request_in_batch(self):
+        from motiondiffusion_moe_tpu.tools.serve import _Batcher
+
+        pipe = FakePipe()
+        pipe.gate.clear()
+        b = _Batcher(pipe, threading.Lock(), max_batch=8)
+        t1, _ = self._submit_async(b, ["a"], [2])
+        assert pipe.entered.wait(timeout=10)
+        t2, r2 = self._submit_async(b, ["boom"], [2])
+        t3, r3 = self._submit_async(b, ["c"], [2])
+        deadline = time.time() + 10
+        while len(b._queue) < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        pipe.gate.set()
+        for t in (t1, t2, t3):
+            t.join(timeout=30)
+        assert "error" in r2 and "error" in r3
+        assert "kernel exploded" in str(r2["error"])
 
 
 class TestServe:
@@ -94,3 +196,12 @@ class TestServe:
         np.testing.assert_allclose(
             np.asarray(raw["motions"][0]) * 2.0 + 0.5, m0,
             rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_seedless_request_flows_through_batcher(self, server):
+        status, body = _post(f"{server}/generate", {
+            "texts": ["a person spins"], "lengths": [10]})
+        assert status == 200
+        assert body["batched"] >= 1
+        assert body["shapes"] == [[10, 26]]
+        assert np.isfinite(np.asarray(body["motions"][0])).all()
