@@ -234,14 +234,29 @@ def main(argv=None) -> None:
                    help="return normalized feature space")
     p.add_argument("--warmup", action="store_true",
                    help="compile + run one generation before binding")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard each generation's batch over this many"
+                        " devices (micro_batch must divide by it)")
+    p.add_argument("--expert_parallel", type=int, default=1,
+                   help="shard MoE experts over this many devices")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="Megatron FFN split over this many devices")
     args = p.parse_args(argv)
 
     from motiondiffusion_moe_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
 
+    mesh = None
+    n_mesh = args.data_parallel * args.expert_parallel * args.tensor_parallel
+    if n_mesh > 1:
+        from motiondiffusion_moe_tpu.parallel import make_mesh
+        mesh = make_mesh(n_mesh, expert_parallel=args.expert_parallel,
+                         tensor_parallel=args.tensor_parallel)
+        print(f"[serve] mesh {dict(mesh.shape)}")
+
     kw = dict(sampler=args.sampler, num_inference_steps=args.steps or None,
-              micro_batch=args.micro_batch,
+              micro_batch=args.micro_batch, mesh=mesh,
               param_dtype=args.param_dtype or None)
     if args.export_dir:
         pipe = GenerationPipeline.from_export(args.export_dir, **kw)
@@ -262,8 +277,12 @@ def main(argv=None) -> None:
         if restored is None:
             raise FileNotFoundError(f"no checkpoint in {args.run_dir}/ckpt")
         state, _ = restored
+        # under a serving mesh the model must be built WITH that mesh
+        # (the MoE dispatch path reads it); trainer.model carries the
+        # training mesh (usually None here), so let the pipeline rebuild
+        model = trainer.model if mesh is None else None
         pipe = GenerationPipeline(
-            cfg, trainer.model, select_params(state, args.use_ema), **kw)
+            trainer.cfg, model, select_params(state, args.use_ema), **kw)
         meta = os.path.join(args.run_dir, "meta")
         pipe.normalizer = (MotionNormalizer.load(meta)
                            if os.path.isdir(meta) else

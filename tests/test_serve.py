@@ -198,6 +198,32 @@ class TestServe:
             rtol=1e-4, atol=1e-5)
 
     @pytest.mark.slow
+    def test_mesh_sharded_serving(self, tmp_path):
+        """HTTP serving with the pipeline sharded over a DPxEP mesh — the
+        v5e-8 deployment shape (--data_parallel/--expert_parallel flags)."""
+        from motiondiffusion_moe_tpu.parallel import make_mesh
+        from motiondiffusion_moe_tpu.pipeline import GenerationPipeline
+
+        run = _make_run(tmp_path, _tiny_cfg())
+        out = export_run(run)
+        mesh = make_mesh(4, expert_parallel=2)  # data=2, expert=2
+        pipe = GenerationPipeline.from_export(
+            out, sampler="ddim", num_inference_steps=5, micro_batch=2,
+            mesh=mesh)
+        srv = make_server(pipe, port=0, max_batch=4)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            status, body = _post(f"{url}/generate", {
+                "texts": ["a person walks"], "lengths": [12], "seed": 1})
+            assert status == 200
+            assert body["shapes"] == [[12, 26]]
+            assert np.isfinite(np.asarray(body["motions"][0])).all()
+        finally:
+            srv.shutdown()
+
+    @pytest.mark.slow
     def test_seedless_request_flows_through_batcher(self, server):
         status, body = _post(f"{server}/generate", {
             "texts": ["a person spins"], "lengths": [10]})
