@@ -94,6 +94,13 @@ def main(argv=None) -> None:
                         "(0 = the FULL eval set, matching the reference's "
                         "whole-test-loader score loop)")
     p.add_argument("--skip_joint_scores", action="store_true")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard each generation batch over this many devices"
+                        " (batch_size must divide by it)")
+    p.add_argument("--expert_parallel", type=int, default=1,
+                   help="shard MoE experts over this many devices")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="Megatron FFN split over this many devices")
     args = p.parse_args(argv)
 
     import jax
@@ -135,11 +142,23 @@ def main(argv=None) -> None:
     print(f"[evaluate] {len(samples)} eval samples")
 
     from motiondiffusion_moe_tpu.training import select_params
-    pipe = GenerationPipeline(cfg, trainer.model,
+    mesh = None
+    n_mesh = args.data_parallel * args.expert_parallel * args.tensor_parallel
+    if n_mesh > 1:
+        from motiondiffusion_moe_tpu.parallel import make_mesh
+        mesh = make_mesh(n_mesh, expert_parallel=args.expert_parallel,
+                         tensor_parallel=args.tensor_parallel)
+        print(f"[evaluate] mesh {dict(mesh.shape)}")
+    # under a mesh the model must be rebuilt with it (trainer.model carries
+    # the TRAINING mesh, usually None in this CLI); trainer.cfg keeps any
+    # moe_compute fallback the Trainer applied
+    pipe = GenerationPipeline(trainer.cfg,
+                              trainer.model if mesh is None else None,
                               select_params(state, args.use_ema),
                               sampler=args.sampler,
                               num_inference_steps=args.steps or None,
-                              micro_batch=args.batch_size)
+                              micro_batch=args.batch_size,
+                              mesh=mesh)
 
     def generate(captions, lens, seed):
         return pipe.generate(captions, lens, rng=jax.random.key(seed))

@@ -125,3 +125,33 @@ class TestEvaluateCLIEndToEnd:
         for key in ("FID", "Diversity", "R_precision", "MultiModality",
                     "Matching"):
             assert key.lower() in log.lower(), (key, log[-2000:])
+
+    def test_mesh_sharded_eval(self, tmp_path, capsys):
+        """--data_parallel/--expert_parallel shard the eval-time sampling
+        pipeline (the v5e-8 eval shape) through the real CLI."""
+        from motiondiffusion_moe_tpu.tools.evaluate import main as eval_main
+        from motiondiffusion_moe_tpu.tools.train import main as train_main
+
+        train_main([
+            "--name", "meshrun", "--dataset", "synthetic",
+            "--synthetic_size", "8", "--checkpoint_dir", str(tmp_path),
+            "--batch_size", "4", "--num_epochs", "1",
+            "--num_layers", "1", "--latent_dim", "32", "--ff_size", "16",
+            "--num_heads", "2", "--num_experts", "4",
+            "--text_latent_dim", "16", "--diffusion_steps", "50",
+            "--no_uncond_step",
+        ])
+        eval_main([
+            "--run_dir", str(tmp_path / "meshrun"),
+            "--dataset", "synthetic",
+            "--max_samples", "8", "--batch_size", "4",
+            "--data_parallel", "2", "--expert_parallel", "2",
+            "--sampler", "ddim", "--steps", "5",
+            "--replication_times", "1",
+            "--mm_num_samples", "4", "--mm_num_repeats", "3",
+            "--mm_num_times", "2", "--diversity_times", "2",
+            "--score_samples", "4",
+        ])
+        out = capsys.readouterr().out
+        assert "mesh {'data': 2, 'expert': 2, 'model': 1}" in out
+        assert "MAE=" in out
