@@ -643,6 +643,7 @@ class TestGradAccum:
         return TrainState(step=base.step, params=base.params,
                           opt_state=tx.init(base.params), tx=tx)
 
+    @pytest.mark.slow  # three distinct jit compiles (~5 min on 1 CPU core)
     def test_accum_update_is_mean_of_chunk_grads(self):
         import dataclasses as _dc
         cfg = tiny_config()
