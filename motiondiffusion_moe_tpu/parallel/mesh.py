@@ -176,11 +176,27 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
 def shard_batch(batch: Any, mesh: Mesh, leading_dims: int = 0) -> Any:
     """Place a host batch dict with the batch dim sharded over 'data'
     (``leading_dims`` unsharded axes before it, e.g. the K axis of a
-    stacked multi-step batch)."""
+    stacked multi-step batch).
+
+    Multi-process (pod): each process passes its PROCESS-LOCAL batch
+    ([B/num_processes, ...] rows from its own ``DistributedSampler`` shard)
+    and gets back the GLOBAL array — ``jax.make_array_from_process_local_data``
+    places local rows on the process's addressable devices and infers the
+    global batch dim as local x num_processes. Process p's rows land at
+    global positions [p*B_local, (p+1)*B_local) because ``make_mesh`` lays
+    the leading 'data' axis out in ``jax.devices()`` order, which sorts
+    devices process-contiguously. This is the TPU analog of the
+    reference's per-rank DistributedSampler feeding DDP
+    (``tools/train.py:159-164``)."""
     sharding = NamedSharding(mesh, P(*([None] * leading_dims), DATA_AXIS))
 
-    def put(leaf):
-        return jax.device_put(leaf, sharding)
+    if jax.process_count() > 1:
+        def put(leaf):
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(leaf))
+    else:
+        def put(leaf):
+            return jax.device_put(leaf, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -117,6 +117,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="synthetic dataset size (dataset=synthetic)")
     p.add_argument("--no_native_io", action="store_true",
                    help="disable the C++ batch-assembly data plane")
+    # multi-host (pod) launch — the torchrun-env analog of the reference
+    # (tools/train.py:88-100). On TPU pods all three are auto-detected;
+    # pass them only for manual/localhost launches. batch_size stays the
+    # GLOBAL batch; each process loads batch_size/num_processes rows.
+    p.add_argument("--coordinator_address", default="",
+                   help="host:port of process 0 (multi-host; auto on pods)")
+    p.add_argument("--num_processes", type=int, default=0,
+                   help="total process count (multi-host; auto on pods)")
+    p.add_argument("--process_id", type=int, default=-1,
+                   help="this process's rank (multi-host; auto on pods)")
     return p
 
 
@@ -188,20 +198,36 @@ def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
 
+    # Multi-host init MUST precede the first device touch (backend
+    # instantiation makes jax.distributed.initialize impossible — see
+    # parallel/distributed.py). The reference's analog is
+    # dist.init_process_group('nccl', env://) (tools/train.py:95-100).
+    from motiondiffusion_moe_tpu.parallel.distributed import (
+        initialize_distributed, is_primary, local_batch_slice)
+    initialize_distributed(
+        coordinator_address=args.coordinator_address or None,
+        num_processes=args.num_processes or None,
+        process_id=args.process_id if args.process_id >= 0 else None)
+
     import jax
 
     from motiondiffusion_moe_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
     from motiondiffusion_moe_tpu.data import (
-        DataLoader, SyntheticText2MotionDataset, Text2MotionDataset)
+        DataLoader, DistributedSampler, SyntheticText2MotionDataset,
+        Text2MotionDataset)
     from motiondiffusion_moe_tpu.training import CheckpointManager, Trainer
 
     run_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
     os.makedirs(run_dir, exist_ok=True)
-    cfg.save(os.path.join(run_dir, "config.json"))
-    print(f"[train] config -> {run_dir}/config.json")
-    print(f"[train] devices: {jax.devices()}")
+    if is_primary():
+        cfg.save(os.path.join(run_dir, "config.json"))
+        print(f"[train] config -> {run_dir}/config.json")
+        print(f"[train] devices: {jax.devices()}")
+        if jax.process_count() > 1:
+            print(f"[train] multi-host: {jax.process_count()} processes, "
+                  f"{len(jax.local_devices())} local devices each")
 
     if args.dataset == "synthetic":
         dataset = SyntheticText2MotionDataset(cfg.data,
@@ -212,17 +238,28 @@ def main(argv=None) -> None:
                                      seed=cfg.train.seed)
     # every run dir is self-contained: evaluate/visualize read meta/ for
     # denormalization (and fall back to identity stats when absent)
-    dataset.normalizer.save(os.path.join(run_dir, "meta"))
+    if is_primary():
+        dataset.normalizer.save(os.path.join(run_dir, "meta"))
 
-    loader = DataLoader(dataset, batch_size=cfg.train.batch_size,
-                        seed=cfg.train.seed)
+    # Each process loads ITS shard of every epoch (the reference's
+    # per-rank DistributedSampler, tools/train.py:159-164) at the LOCAL
+    # batch size; parallel.shard_batch assembles the global [batch_size]
+    # arrays from the per-process rows.
+    nproc = jax.process_count()
+    sampler = DistributedSampler(
+        len(dataset), num_replicas=nproc, rank=jax.process_index(),
+        seed=cfg.train.seed)
+    loader = DataLoader(dataset,
+                        batch_size=local_batch_slice(cfg.train.batch_size),
+                        sampler=sampler, seed=cfg.train.seed)
     norm = dataset.normalizer
     trainer = Trainer(cfg, normalizer_stats=(norm.mean, norm.std))
     state = trainer.init_state()
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
     trainer.fit(state, loader, checkpoints=ckpt)
     ckpt.close()
-    print("[train] done")
+    if is_primary():
+        print("[train] done")
 
 
 if __name__ == "__main__":

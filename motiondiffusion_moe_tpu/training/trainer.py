@@ -115,7 +115,13 @@ class Trainer:
         else:
             self.multi_step = None
         self.logger = logger or MetricsLogger(cfg.train.log_every)
-        self._np_rng = np.random.default_rng(cfg.train.seed)
+        # Host-side RNG (schedule-sampler t draws, caption dropout) must be
+        # DECORRELATED across processes — every process draws t for its own
+        # local rows of the global batch, and identical streams would give
+        # every host the same timesteps (process_index()*K is a no-op
+        # single-process, so goldens are unchanged).
+        self._np_rng = np.random.default_rng(
+            cfg.train.seed + 1_000_003 * jax.process_index())
 
     @staticmethod
     def _maybe_make_mesh(cfg: ExperimentConfig):
@@ -133,8 +139,11 @@ class Trainer:
         pp = cfg.parallel.num_pipeline_stages
         dp = cfg.parallel.num_data_partitions
         ndev = len(jax.devices())
+        # Multi-process (pod): SPMD over the GLOBAL mesh is the only way
+        # the processes cooperate — a mesh is mandatory, any backend.
+        multiproc = jax.process_count() > 1
         auto_dp = (dp == 0 and ndev > 1
-                   and jax.default_backend() not in ("cpu",))
+                   and (multiproc or jax.default_backend() not in ("cpu",)))
         if ep <= 1 and tp <= 1 and sp <= 1 and pp <= 1 and dp <= 1 \
                 and not auto_dp:
             return None
@@ -222,9 +231,24 @@ class Trainer:
                 for k, v in batch.items()}
 
     def _update_sampler(self, batch, metrics) -> None:
-        if isinstance(self.sampler, LossAwareSampler):
-            self.sampler.update_with_local_losses(
-                np.asarray(batch["t"]), np.asarray(metrics["per_sample_mse"]))
+        if not isinstance(self.sampler, LossAwareSampler):
+            return
+        t_local = np.asarray(batch["t"]).reshape(-1)
+        losses = np.asarray(metrics["per_sample_mse"]).reshape(-1)
+        n = jax.process_count()
+        if n > 1 and losses.shape[0] == t_local.shape[0] * n:
+            # the jitted step returns GLOBAL per-sample losses (replicated
+            # output) while batch["t"] holds this process's LOCAL rows:
+            # slice our block out of each grad-accum chunk (process p's
+            # rows sit at [p*m, (p+1)*m) of every [B_global/A] chunk —
+            # see parallel.shard_batch). The sampler then allgathers the
+            # (t, loss) pairs across processes itself.
+            A = self.accum if t_local.shape[0] % self.accum == 0 else 1
+            g = losses.reshape(A, -1)
+            m = g.shape[1] // n
+            p = jax.process_index()
+            losses = g[:, p * m:(p + 1) * m].reshape(-1)
+        self.sampler.update_with_local_losses(t_local, losses)
 
     # ------------------------------------------------------------------
     def fit(self, state: TrainState, loader: Iterable,
@@ -237,14 +261,20 @@ class Trainer:
         rng = rng if rng is not None else jax.random.key(
             cfg.train.seed + 1, impl=cfg.train.jax_rng_impl)
 
+        # multi-process: only the primary prints/logs (the reference
+        # patches builtins.print master-only, tools/train.py:31-43);
+        # checkpoint saves stay COLLECTIVE — every process participates
+        primary = jax.process_index() == 0
+
         if checkpoints is not None:
             restored = checkpoints.restore_with_rng(state)
             if restored is not None:
                 state, start_epoch, saved_rng = restored
                 if saved_rng is not None:
                     rng = saved_rng
-                print(f"[trainer] resumed from step {int(state.step)} "
-                      f"(epoch {start_epoch})")
+                if primary:
+                    print(f"[trainer] resumed from step {int(state.step)} "
+                          f"(epoch {start_epoch})")
 
         if self.mesh is not None:
             # restore happens above on host/default placement; this places
@@ -261,8 +291,20 @@ class Trainer:
                     zero1=cfg.parallel.zero1)
             else:
                 multi_fn = None
-            print(f"[trainer] mesh {dict(self.mesh.shape)} "
-                  f"({self.mesh.devices.size} devices)")
+            if jax.process_count() > 1:
+                # first execution of each program is compile+barrier'd:
+                # collective rendezvous must not race another process's
+                # compile (XLA:CPU Gloo rendezvous times out at 30 s; see
+                # parallel.distributed.compile_synced)
+                from motiondiffusion_moe_tpu.parallel.distributed import (
+                    compile_synced)
+                step_fn = compile_synced(step_fn, "step")
+                if multi_fn is not None:
+                    multi_fn = compile_synced(multi_fn, "multi_step")
+            if primary:
+                print(f"[trainer] mesh {dict(self.mesh.shape)} "
+                      f"({self.mesh.devices.size} devices, "
+                      f"{jax.process_count()} processes)")
         else:
             step_fn = self.train_step
             multi_fn = self.multi_step
@@ -273,10 +315,11 @@ class Trainer:
             # updated after EVERY step (samplers.py); buffering K batches
             # would draw from weights up to K steps stale — silently
             # different importance sampling. Keep the reference cadence.
-            print("[trainer] steps_per_call>1 is incompatible with "
-                  f"loss-aware schedule sampler "
-                  f"'{cfg.diffusion.schedule_sampler}' (t would be drawn "
-                  "from stale weights); falling back to 1 step/call")
+            if primary:
+                print("[trainer] steps_per_call>1 is incompatible with "
+                      f"loss-aware schedule sampler "
+                      f"'{cfg.diffusion.schedule_sampler}' (t would be drawn "
+                      "from stale weights); falling back to 1 step/call")
             K = 1
         it = int(state.step)
         start_time = time.time()
@@ -310,10 +353,12 @@ class Trainer:
                 for i, sub_batch in enumerate(chunk):
                     sub = {k: v[i] for k, v in ms.items()}
                     self._update_sampler(sub_batch, sub)
-                    logs = OrderedDict(
-                        (k, float(v)) for k, v in sub.items()
-                        if np.ndim(v) == 0)
-                    self.logger.log(prev + i + 1, epoch, logs, start_time)
+                    if primary:
+                        logs = OrderedDict(
+                            (k, float(v)) for k, v in sub.items()
+                            if np.ndim(v) == 0)
+                        self.logger.log(prev + i + 1, epoch, logs,
+                                        start_time)
                 maybe_save(prev, epoch)
             if force:
                 while pending:
@@ -328,10 +373,11 @@ class Trainer:
                     state, metrics = step_fn(state, b, key)
                     it = int(state.step)
                     self._update_sampler(sub_batch, metrics)
-                    logs = OrderedDict(
-                        (k, float(v)) for k, v in metrics.items()
-                        if np.ndim(v) == 0)
-                    self.logger.log(it, epoch, logs, start_time)
+                    if primary:
+                        logs = OrderedDict(
+                            (k, float(v)) for k, v in metrics.items()
+                            if np.ndim(v) == 0)
+                        self.logger.log(it, epoch, logs, start_time)
                     maybe_save(prev, epoch)
 
         for epoch in range(start_epoch, cfg.train.num_epochs):
@@ -384,7 +430,8 @@ class Trainer:
                             logs[f"uncond_{k}"] = float(v)
 
                 it = int(state.step)
-                self.logger.log(it, epoch, logs, start_time)
+                if primary:
+                    self.logger.log(it, epoch, logs, start_time)
                 maybe_save(prev, epoch)
 
             run_pending(epoch, force=True)
