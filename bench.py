@@ -201,7 +201,28 @@ def _run():
         # the sampling micro-batch
         diag_fns.append(lambda: _train_diag(
             cfg, model, params, cfg.train.batch_size, T, D))
+    diag_fns.append(_soak_diag)
     return result, diag, diag_fns
+
+
+def _soak_diag() -> str:
+    """Report the committed sustained-training (soak) summary, if one
+    exists: >=500 flagship optimizer steps on the chip with a mid-run
+    checkpoint -> kill -> resume (produced by tools/soak_report.py from
+    the train-CLI logs; see BENCH_NOTES.md 'round-4 soak')."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".soak_summary.json")
+    if not os.path.exists(path):
+        return "# soak: no .soak_summary.json (no sustained run recorded)"
+    with open(path) as f:
+        s = json.load(f)
+    rates = "/".join(f"{r:.2f}" for r in s.get("sustained_steps_per_s", []))
+    return (f"# soak: steps={s['total_steps']} halves={s['halves']} "
+            f"loss={s['loss_first']:.3f}->{s['loss_last']:.3f} "
+            f"decreasing={s['loss_decreasing']} "
+            f"resume_continues={s.get('resume_step_continues', 'n/a')}/"
+            f"{s.get('resume_loss_continues', 'n/a')} "
+            f"sustained_steps_per_s={rates}")
 
 
 def _dpm_diag(cfg, model, params, B, T, serve_dtype=None) -> str:

@@ -358,13 +358,22 @@ def evaluation(gt_samples: Sequence[EvalSample],
                                        cfg.batch_size, cfg.max_text_len)
             batch_dict = {"ground truth": gt_batches, model_name: gen_batches}
 
+            t1 = time.time()
             mat, rprec, act = evaluate_matching_score(eval_wrapper,
                                                       batch_dict, f)
+            t2 = time.time()
+            _log(f, f"matching/R-precision embedding took {t2-t1:.1f}s")
             fid = evaluate_fid(eval_wrapper, gt_batches,
                                {model_name: act[model_name]}, f)
             div = evaluate_diversity(act, cfg.diversity_times, f, rng=rng)
+            t3 = time.time()
             mm_res = evaluate_multimodality(eval_wrapper, {model_name: mm},
                                             cfg.mm_num_times, f, rng=rng)
+            t4 = time.time()
+            _log(f, f"fid+diversity took {t3-t2:.1f}s, "
+                    f"multimodality embedding took {t4-t3:.1f}s; "
+                    f"replication total {t4-t0:.1f}s "
+                    f"(generation {t1-t0:.1f}s)")
 
             for key, d in (("Matching Score", mat), ("R_precision", rprec),
                            ("FID", fid), ("Diversity", div),

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from motiondiffusion_moe_tpu.models.norm import layer_norm
+
 from motiondiffusion_moe_tpu.models.embeddings import StylizationBlock, grad_clamp
 
 
@@ -67,7 +69,7 @@ class FastAttention(nn.Module):
     @nn.compact
     def __call__(self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        norm = layer_norm(self.dtype, name="norm")
         projection = self.param("projection", _orthogonal_feature_init,
                                 (self.head_dim, self.num_features))
         # fixed random features: zero gradient, never updated
@@ -137,7 +139,7 @@ class PerformerSelfAttention(nn.Module):
         head_dim = D // H
         init = xavier_normal(0.1)  # fast_attention.py:155-158
 
-        h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)
+        h = layer_norm(self.dtype, name="pre_norm")(x)
 
         if self.fused:
             from motiondiffusion_moe_tpu.ops.performer_pallas import (
@@ -252,7 +254,7 @@ class DualSelfAttentionBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
                  src_mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
-        h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)
+        h = layer_norm(self.dtype, name="pre_norm")(x)
         local_out = PerformerSelfAttention(
             latent_dim=self.latent_dim, num_heads=self.num_heads,
             dropout=self.dropout, time_embed_dim=self.time_embed_dim,
@@ -271,7 +273,7 @@ class DualSelfAttentionBlock(nn.Module):
         skip = nn.gelu(skip)
 
         out = skip + 0.1 * global_out
-        return nn.LayerNorm(dtype=self.dtype, name="post_norm")(out)
+        return layer_norm(self.dtype, name="post_norm")(out)
 
 
 class LinearTemporalCrossAttention(nn.Module):
@@ -291,8 +293,8 @@ class LinearTemporalCrossAttention(nn.Module):
         D = x.shape[-1]
         H = self.num_heads
 
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        tn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
+        xn = layer_norm(self.dtype, name="norm")(x)
+        tn = layer_norm(self.dtype, name="text_norm")(xf)
         qd = nn.Dense(D, dtype=self.dtype, name="query")(xn)
         kd = nn.Dense(D, dtype=self.dtype, name="key")(tn)
         vd = nn.Dense(D, dtype=self.dtype, name="value")(tn)
@@ -427,7 +429,7 @@ class CrossAttentionBlock(nn.Module):
         out = nn.Dense(D, dtype=self.dtype, name="out")(out)
 
         # small residual FFN (fast_attention.py:293-299,327-329)
-        h = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")(out)
+        h = layer_norm(self.dtype, name="ffn_norm")(out)
         h = nn.Dense(D * 4, dtype=self.dtype, name="ffn_0")(h)
         h = nn.gelu(h)
         h = nn.Dense(D, dtype=self.dtype, name="ffn_1")(h)

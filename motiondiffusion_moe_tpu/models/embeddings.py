@@ -158,11 +158,16 @@ class StylizationBlock(nn.Module):
             return adaln_dense(h, scale, shift, ln_scale, ln_bias,
                                w.astype(self.dtype), b.astype(self.dtype))
 
-        hf = h.astype(jnp.float32)
+        from motiondiffusion_moe_tpu.models.norm import bf16_ln_stats
+
+        # LN stats in f32 by default; compute dtype under LN_BF16_STATS=1
+        # (the bf16-resident-LN train A/B — see models/norm.py)
+        hf = h if bf16_ln_stats() else h.astype(jnp.float32)
         mu = hf.mean(-1, keepdims=True)
         var = ((hf - mu) ** 2).mean(-1, keepdims=True)
         normed = ((hf - mu) * jax.lax.rsqrt(var + 1e-6)
-                  * ln_scale + ln_bias).astype(self.dtype)
+                  * ln_scale.astype(hf.dtype)
+                  + ln_bias.astype(hf.dtype)).astype(self.dtype)
         hmod = normed * (1 + scale[:, None, :]) + shift[:, None, :]
         hmod = nn.silu(hmod)
         hmod = nn.Dropout(self.dropout)(hmod, deterministic=not use_dropout)

@@ -35,6 +35,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from motiondiffusion_moe_tpu.models.norm import layer_norm
 from jax.sharding import Mesh
 
 
@@ -255,7 +257,7 @@ class MoEMultiBranchFFN(nn.Module):
 
         out = 0.0
         for i in range(self.num_branches):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"branch_{i}_norm")(x)
+            h = layer_norm(self.dtype, name=f"branch_{i}_norm")(x)
             h = SwitchMoELayer(latent_dim=self.latent_dim,
                                hidden_dim=self.ffn_dim,
                                num_experts=self.num_experts,
@@ -293,7 +295,7 @@ class DenseFFN(nn.Module):
 
         out = 0.0
         for i in range(self.num_branches):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"branch_{i}_norm")(x)
+            h = layer_norm(self.dtype, name=f"branch_{i}_norm")(x)
             h = nn.Dense(self.ffn_dim, dtype=self.dtype,
                          name=f"branch_{i}_fc1")(h)
             h = nn.gelu(h)

@@ -249,3 +249,96 @@ def make_block_stage_fn(block_template, deterministic: bool,
         return dict(ring, h=h), aux
 
     return stage_fn
+
+
+# ---------------------------------------------------------------------------
+# Per-stage memory accounting
+# ---------------------------------------------------------------------------
+
+def pp_stage_memory_report(params, num_stages: int, *,
+                           train: bool = True, ema: bool = False,
+                           batch: int = 0, num_microbatches: int = 0,
+                           max_frames: int = 0, latent_dim: int = 0,
+                           hbm_bytes: int = 16 * 2**30) -> dict:
+    """Analytical per-stage memory accounting for an S-stage GPipe run.
+
+    The reference never needed this (single-GPU DDP only); it is the
+    sizing tool for the one regime PP exists for — a decoder stack whose
+    TRAIN state outgrows one chip's HBM (SURVEY.md §2.4 PP row).
+
+    ``params``: the model's variables pytree (concrete arrays or
+    ``jax.eval_shape`` structs — only ``.shape``/``.dtype`` are read).
+    Block leaves (path contains ``blocks_low``/``blocks_high``, the
+    stacked [L, ...] layout) shard into S contiguous stages; everything
+    else is replicated on every pipe rank.
+
+    Returns a dict with per-stage byte totals and ``min_stages_to_fit``:
+    the smallest S (1, 2, 4, ...) whose per-stage train state fits
+    ``hbm_bytes`` (default: one v5e chip's 16 GB). Optimizer multiplier:
+    params + grads + Adam mu + nu (+ EMA) in the param dtype.
+    """
+    import numpy as np  # shapes only — no device math
+
+    def nbytes(leaf):
+        return int(np.prod(leaf.shape)) * np.dtype(leaf.dtype).itemsize
+
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    block_b = other_b = 0
+    for path, leaf in flat:
+        key = jax.tree_util.keystr(path)
+        if "blocks_low" in key or "blocks_high" in key:
+            block_b += nbytes(leaf)
+        else:
+            other_b += nbytes(leaf)
+
+    mult = (5 if ema else 4) if train else 1  # p + g + mu + nu (+ ema)
+
+    def stage_bytes(S):
+        return (block_b // S + other_b) * mult
+
+    report = {
+        "num_stages": num_stages,
+        "param_bytes_total": block_b + other_b,
+        "param_bytes_blocks": block_b,
+        "param_bytes_replicated": other_b,
+        "state_multiplier": mult,
+        "stage_state_bytes": stage_bytes(num_stages),
+        "single_device_state_bytes": stage_bytes(1),
+        "hbm_bytes": hbm_bytes,
+    }
+    S = 1
+    while stage_bytes(S) > hbm_bytes and S < 4096:
+        S *= 2
+    report["min_stages_to_fit"] = S
+    if batch and num_microbatches and max_frames and latent_dim:
+        mb = batch // num_microbatches
+        # the ring carries ONE microbatch's hidden state per tick; the
+        # GPipe scan additionally stores each real tick's ring output for
+        # the backward (M + S - 1 ticks, valid ticks ~M)
+        ring = mb * max_frames * latent_dim * 4
+        report["ring_bytes_per_tick"] = ring
+        report["ring_bytes_backward"] = ring * (num_microbatches
+                                                + num_stages - 1)
+    return report
+
+
+def format_pp_memory_report(report: dict) -> str:
+    g = 2.0**30
+    lines = [
+        f"PP-{report['num_stages']} stage memory accounting "
+        f"(x{report['state_multiplier']} train-state multiplier):",
+        f"  params total        {report['param_bytes_total'] / g:8.2f} GiB"
+        f"  (blocks {report['param_bytes_blocks'] / g:.2f}, replicated "
+        f"{report['param_bytes_replicated'] / g:.2f})",
+        f"  train state / chip  {report['single_device_state_bytes'] / g:8.2f}"
+        f" GiB unsharded vs {report['stage_state_bytes'] / g:.2f} GiB/stage "
+        f"at PP-{report['num_stages']}",
+        f"  fits {report['hbm_bytes'] / g:.1f} GiB HBM from S = "
+        f"{report['min_stages_to_fit']}",
+    ]
+    if "ring_bytes_per_tick" in report:
+        lines.append(
+            f"  ring activation     {report['ring_bytes_per_tick'] / g:8.3f}"
+            f" GiB/tick, ~{report['ring_bytes_backward'] / g:.3f} GiB held "
+            "for backward")
+    return "\n".join(lines)

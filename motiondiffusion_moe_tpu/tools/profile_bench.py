@@ -23,7 +23,8 @@ import tempfile
 from collections import defaultdict
 
 
-def capture(batch: int, steps: int, mode: str, log_dir: str) -> None:
+def capture(batch: int, steps: int, mode: str, log_dir: str,
+            scan: int = 0) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -71,7 +72,6 @@ def capture(batch: int, steps: int, mode: str, log_dir: str) -> None:
         tx = make_optimizer(cfg)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=tx.init(params), tx=tx)
-        step_fn = make_train_step(model, sched, cfg)
         rng = jax.random.key(1, impl=cfg.train.jax_rng_impl)
         batch_data = {
             "motion": jnp.zeros((B, T, D), jnp.float32),
@@ -81,11 +81,53 @@ def capture(batch: int, steps: int, mode: str, log_dir: str) -> None:
             "t": jnp.zeros((B,), jnp.int32),
             "t_weight": jnp.ones((B,), jnp.float32),
         }
-        state, m = step_fn(state, batch_data, rng)   # compile
-        float(m["loss_total"])  # value fetch: the tunnel's true barrier
-        with jax.profiler.trace(log_dir):
-            state, m = step_fn(state, batch_data, rng)
-            float(m["loss_total"])
+        if scan > 1:
+            # the production inner loop (make_multi_train_step): trace ONE
+            # K-step scanned call; the analyzer's per-family totals then
+            # cover K steps — divide by --scan for per-step numbers
+            from motiondiffusion_moe_tpu.training.train_state import (
+                make_multi_train_step)
+            multi = make_multi_train_step(model, sched, cfg, jit=False)
+            batches = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a[None], (scan,) + a.shape),
+                batch_data)
+            compiled = jax.jit(multi, donate_argnums=(0,)).lower(
+                state, batches, rng).compile()
+            _report_cost(compiled, scan)
+            state, m = compiled(state, batches, rng)
+            float(m["loss_total"][-1])
+            with jax.profiler.trace(log_dir):
+                state, m = compiled(state, batches, rng)
+                float(m["loss_total"][-1])
+        else:
+            compiled = jax.jit(
+                make_train_step(model, sched, cfg, jit=False),
+                donate_argnums=(0,)).lower(state, batch_data, rng).compile()
+            _report_cost(compiled, 1)
+            state, m = compiled(state, batch_data, rng)   # first execution
+            float(m["loss_total"])  # value fetch: the tunnel's true barrier
+            with jax.profiler.trace(log_dir):
+                state, m = compiled(state, batch_data, rng)
+                float(m["loss_total"])
+
+
+def _report_cost(compiled, scan: int) -> None:
+    """XLA cost-analysis totals for the roofline decomposition (a lax.scan
+    body is counted ONCE regardless of trip count, so these are per-step)."""
+    try:
+        cost = compiled.cost_analysis()
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return
+    if not cost:
+        return
+    flops = float(cost.get("flops", 0.0))
+    byt = float(cost.get("bytes accessed", 0.0))
+    print(f"cost analysis (per step, scan={scan}): "
+          f"flops={flops/1e9:.1f}G  bytes_accessed={byt/2**30:.2f}GiB  "
+          f"(mxu-floor {flops/197e12*1e3:.1f}ms @197T bf16, "
+          f"hbm-floor {byt/819e9*1e3:.1f}ms @819GB/s)",
+          file=sys.stderr, flush=True)
 
 
 def analyze(log_dir: str, top: int) -> None:
@@ -148,12 +190,19 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--mode", default="sample", choices=["sample", "train"])
+    ap.add_argument("--scan", type=int, default=0,
+                    help="train mode: trace the K-step scanned program "
+                         "(the production inner loop) instead of the "
+                         "per-call step; family totals cover K steps")
     ap.add_argument("--log_dir", default=None)
     args = ap.parse_args()
 
     log_dir = args.log_dir or tempfile.mkdtemp(prefix="xprof_")
-    capture(args.batch, args.steps, args.mode, log_dir)
+    capture(args.batch, args.steps, args.mode, log_dir, scan=args.scan)
     analyze(log_dir, args.top)
+    if args.scan > 1:
+        print(f"(scanned program: divide family totals by {args.scan} "
+              "for per-step)", file=sys.stderr)
     print(f"\ntrace dir: {log_dir}", file=sys.stderr)
 
 

@@ -269,7 +269,21 @@ class Trainer:
         if checkpoints is not None:
             restored = checkpoints.restore_with_rng(state)
             if restored is not None:
+                template = state
                 state, start_epoch, saved_rng = restored
+                # fit OWNS the passed-in state (the jitted step donates its
+                # buffers anyway, so callers can never reuse it): free the
+                # init template's device buffers NOW. Keeping it alive
+                # through the caller's frame double-residents the full
+                # train state — at flagship scale ~5.8 GB of f32
+                # params+moments+EMA — and the resumed first K-step scanned
+                # call OOMs a 16 GB chip that the fresh run fits on.
+                live = {id(l) for l in jax.tree_util.tree_leaves(state)}
+                for leaf in jax.tree_util.tree_leaves(template):
+                    if isinstance(leaf, jax.Array) and id(leaf) not in live \
+                            and not leaf.is_deleted():
+                        leaf.delete()
+                del template
                 if saved_rng is not None:
                     rng = saved_rng
                 if primary:

@@ -108,6 +108,26 @@ class TestForwardBf16Drift:
         rel = np.abs(out16 - out32).max() / scale
         assert rel < 0.15, f"bf16 forward drift {rel:.4f} vs f32"
 
+    def test_ln_bf16_stats_parity(self, monkeypatch):
+        """LN_BF16_STATS=1 (bf16-resident LayerNorm reductions — the
+        train-MFU A/B knob in models/norm.py) stays within bf16 drift of
+        the default f32-stats path on the same params and inputs."""
+        rng = np.random.default_rng(2)
+        B, T, D = 2, 32, 26
+        x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+        ids = jnp.asarray(hash_tokenize(["a person walks", "x"],
+                                        max_tokens=8))
+        t = jnp.asarray([10, 500], jnp.int32)
+        length = jnp.asarray([32, 24], jnp.int32)
+
+        base = _forward("bfloat16", x, ids, t, length)
+        monkeypatch.setenv("LN_BF16_STATS", "1")
+        fast = _forward("bfloat16", x, ids, t, length)
+        assert np.isfinite(fast).all()
+        scale = np.abs(base).max() + 1e-12
+        rel = np.abs(fast - base).max() / scale
+        assert rel < 0.08, f"bf16-stat LN drift {rel:.4f}"
+
 
 @pytest.mark.slow
 class TestSamplerBf16Drift:

@@ -370,6 +370,42 @@ class TestTrainerLoop:
         assert int(state.step) == 8
 
     @pytest.mark.slow
+    def test_resume_frees_template_state(self, tmp_path):
+        """fit() owns the passed-in state: on resume the init template's
+        device buffers must be FREED, not pinned by the caller's frame —
+        at flagship scale the pinned template (~5.8 GB of f32
+        params+moments+EMA) plus the restored state OOMed a 16 GB chip
+        that the same fresh run fits on (round-4 soak, .soak/soak2.log)."""
+        cfg = tiny_config()
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, train=_dc.replace(
+            cfg.train, num_epochs=1, uncond_step=False, ema_decay=0.9,
+            save_latest_every=1))
+        ds = SyntheticText2MotionDataset(cfg.data, size=4, seed=0)
+        loader = DataLoader(ds, batch_size=4, seed=0)
+        mngr = CheckpointManager(str(tmp_path / "ckpt"))
+        trainer = Trainer(cfg)
+        trainer.fit(trainer.init_state(), loader, checkpoints=mngr)
+        mngr.wait()
+
+        cfg2 = _dc.replace(cfg, train=_dc.replace(cfg.train, num_epochs=2))
+        trainer2 = Trainer(cfg2)
+        template = trainer2.init_state()
+        mngr2 = CheckpointManager(str(tmp_path / "ckpt"))
+        final = trainer2.fit(template, loader, checkpoints=mngr2)
+        mngr2.close()
+        # the template's buffers were freed by the restore, even though
+        # this frame still references the object
+        leaves = [l for l in jax.tree_util.tree_leaves(template)
+                  if isinstance(l, jax.Array)]
+        assert leaves and all(l.is_deleted() for l in leaves)
+        # the returned (resumed+trained) state is alive and advanced
+        assert int(final.step) > 1
+        assert all(not l.is_deleted()
+                   for l in jax.tree_util.tree_leaves(final)
+                   if isinstance(l, jax.Array))
+
+    @pytest.mark.slow
     def test_loss_aware_sampler_integration(self):
         cfg = tiny_config()
         object.__setattr__(cfg.diffusion, "schedule_sampler", "loss-second-moment")

@@ -92,3 +92,53 @@ class TestLogging:
         assert len(records) == 2
         assert records[0]["loss"] == 2.0  # mean of 1, 3
         assert records[1]["loss"] == 6.0  # mean of 5, 7
+
+
+class TestSoakReport:
+    """tools/soak_report.py: parse train-CLI logs into the soak summary."""
+
+    def _fake_log(self, tmp_path, name, rows):
+        lines = []
+        for ep, it, t, loss in rows:
+            mm, ss = divmod(int(t), 60)
+            lines.append(
+                f"epoch: {ep:3d} niter: {it:07d} time: {mm}m {ss:02d}s "
+                f"grad_norm: 0.5 loss_moe: 0.30 loss_mot_rec: 1.0 "
+                f"loss_total: {loss:.4f}")
+        p = tmp_path / name
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_two_half_soak_summary(self, tmp_path):
+        from motiondiffusion_moe_tpu.tools.soak_report import (
+            parse_log, summarize)
+
+        h1 = self._fake_log(tmp_path, "a.log",
+                            [(0, 10, 700, 1.33), (0, 160, 900, 1.20),
+                             (1, 320, 1100, 1.10), (1, 350, 1140, 1.08)])
+        # resume rolls back to the step-320 checkpoint and replays
+        h2 = self._fake_log(tmp_path, "b.log",
+                            [(1, 330, 650, 1.09), (2, 480, 850, 1.01),
+                             (4, 640, 1100, 0.95)])
+        halves = [parse_log(h1), parse_log(h2)]
+        assert len(halves[0]) == 4 and len(halves[1]) == 3
+        assert halves[0][0] == {"epoch": 0, "step": 10,
+                                "elapsed_s": 700.0, "loss": 1.33}
+        s = summarize(halves)
+        assert s["total_steps"] == 640
+        assert s["monotonic_steps"] and s["loss_decreasing"]
+        assert s["resume_step_continues"] and s["resume_loss_continues"]
+        # 340 steps over 440 s then 310 over 450
+        assert s["sustained_steps_per_s"][0] == pytest.approx(340 / 440)
+        assert s["sustained_steps_per_s"][1] == pytest.approx(310 / 450)
+
+    def test_reset_to_zero_is_not_a_resume(self, tmp_path):
+        from motiondiffusion_moe_tpu.tools.soak_report import (
+            parse_log, summarize)
+
+        h1 = self._fake_log(tmp_path, "a.log",
+                            [(0, 100, 700, 1.2), (1, 300, 900, 1.1)])
+        h2 = self._fake_log(tmp_path, "b.log",
+                            [(0, 10, 650, 1.33), (0, 200, 850, 1.2)])
+        s = summarize([parse_log(h1), parse_log(h2)])
+        assert not s["resume_step_continues"]
