@@ -364,6 +364,13 @@ class Trainer:
                 prev = it
                 state, ms = multi_fn(state, stacked, key)
                 it = int(state.step)
+                # ONE host transfer for the whole K-step metrics dict.
+                # float()-ing each scalar individually is ~K*len(ms)
+                # blocking device fetches per call — through the remote-chip
+                # tunnel (seconds of round-trip latency each) that turned a
+                # ~3 s scanned call into ~10 min of metric reads (round-4
+                # soak, .soak/soak1.log epoch 1).
+                ms = jax.device_get(ms)
                 for i, sub_batch in enumerate(chunk):
                     sub = {k: v[i] for k, v in ms.items()}
                     self._update_sampler(sub_batch, sub)
