@@ -19,11 +19,71 @@ import time
 
 BASELINE_MOTIONS_PER_SEC = 1.0 / 0.31
 
+# wall-clock budget for the WHOLE bench (the driver kills the process at
+# ~600 s; rc=124 with no JSON is the round-4 failure mode this guards
+# against). Diagnostics are skipped once the budget would be exceeded;
+# 0 disables the guard.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "500"))
+_T_START = time.time()
+_PHASE = ["startup"]
+
+
+def _remaining() -> float:
+    return (BUDGET_S - (time.time() - _T_START)) if BUDGET_S > 0 else 1e9
+
 
 def _log(msg: str) -> None:
     import sys
     import time as _t
+    _PHASE[0] = msg
     print(f"# [{_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _start_watchdog() -> None:
+    """Heartbeat thread: names the in-flight phase every 30 s on stderr so
+    a driver-side timeout still documents WHERE the bench died (round-4's
+    rc=124 left only 'compiling sampler...' as the last word)."""
+    import sys
+    import threading
+
+    def beat():
+        while True:
+            time.sleep(30)
+            print(f"# [watchdog] t={time.time()-_T_START:.0f}s "
+                  f"phase: {_PHASE[0]}", file=sys.stderr, flush=True)
+
+    threading.Thread(target=beat, daemon=True).start()
+
+
+def _probe_tunnel(deadline_s: float = 120.0) -> dict:
+    """One tiny device round-trip with a hard deadline.
+
+    The axon tunnel's measured failure mode (rounds 4-5) is DISPATCHES
+    FINE, FETCHES STALL — even a 4-byte device_get can hang for minutes.
+    A stalled probe means every generate() below would hang too, so the
+    bench reports the stall as its result instead of dying with nothing.
+    Returns {ok, put, fetch1mb} (times in seconds) or {ok: False}.
+    """
+    import threading
+
+    res: dict = {"ok": False}
+
+    def work():
+        import jax
+        import jax.numpy as jnp
+        t0 = time.time()
+        x = jnp.ones((4,))
+        x.block_until_ready()
+        res["put"] = time.time() - t0
+        t0 = time.time()
+        jax.device_get(jax.random.normal(jax.random.key(0), (262144,)))
+        res["fetch1mb"] = time.time() - t0
+        res["ok"] = True
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(deadline_s)
+    return res
 
 
 def main() -> None:
@@ -31,6 +91,7 @@ def main() -> None:
     import io
     import sys
 
+    _start_watchdog()
     # the axon tunnel and libraries print noise to stdout during compile;
     # the driver expects EXACTLY one JSON line, so run everything with
     # stdout captured and emit the result at the end.
@@ -42,6 +103,14 @@ def main() -> None:
     print(json.dumps(result), flush=True)
     print(diag, file=sys.stderr, flush=True)
     for fn in diag_fns:
+        if _remaining() < 150:
+            # a cold diag compile through the tunnel costs minutes; better
+            # a skipped diagnostic than a driver-killed process (rc=124
+            # loses the already-printed headline's exit status)
+            print(f"# diag skipped: {_remaining():.0f}s of "
+                  f"BENCH_BUDGET_S={BUDGET_S:.0f} left", file=sys.stderr,
+                  flush=True)
+            continue
         try:
             with contextlib.redirect_stdout(captured):
                 line = fn()
@@ -52,6 +121,11 @@ def main() -> None:
     noise = captured.getvalue().strip()
     if noise:
         print(f"# suppressed stdout: {noise[:500]}", file=sys.stderr)
+    sys.stderr.flush()
+    sys.stdout.flush()
+    # a stalled-fetch daemon thread (see _probe_tunnel) can wedge the
+    # interpreter's exit teardown; the output is flushed, leave hard
+    os._exit(0)
 
 
 def _run():
@@ -81,6 +155,40 @@ def _run():
     # rather than hanging. Explicit BENCH_* env overrides still win.
     cpu_fallback = (jax.default_backend() == "cpu"
                     and os.environ.get("BENCH_ALLOW_FULL_CPU", "0") != "1")
+
+    # Preflight: one tiny device round-trip with a deadline. The tunnel's
+    # measured degradation mode is stalled device->host fetches (r4's
+    # rc=124; r5 measured a 4-byte fetch hanging >300 s while dispatches
+    # stayed fast). A stalled probe means generate() below would hang
+    # until the driver kills us with NO record — report the stall as the
+    # result instead (value 0.0, explained metric string).
+    if not cpu_fallback:
+        _log("preflight tunnel probe...")
+        probe = _probe_tunnel(deadline_s=float(
+            os.environ.get("BENCH_PROBE_DEADLINE_S", "120")))
+        if not probe.get("ok"):
+            _log("tunnel probe STALLED - reporting and exiting")
+            return ({
+                "metric": ("motions/sec/chip (196 frames, 50-step DDIM "
+                           "CFG, flagship MoE) - NOT MEASURED: TPU tunnel "
+                           "stalled (device fetch hung past the probe "
+                           "deadline). Last committed chip measurement: "
+                           "see BENCH_NOTES.md round-5"),
+                "value": 0.0,
+                "unit": "motions/s/chip",
+                "vs_baseline": 0.0,
+            }, "# tunnel probe stalled; no measurement possible", [])
+        _log(f"tunnel ok: put={probe['put']:.2f}s "
+             f"fetch1mb={probe['fetch1mb']:.2f}s")
+        if probe["fetch1mb"] > 2.0 and "BENCH_REPS" not in os.environ:
+            # degraded-but-alive fetch path: each rep fetches ~3.3 MB of
+            # motions; shrink the timed region so the headline measures
+            # the chip, not the tunnel's bad day (12-rep vs 24-rep spread
+            # measured <1% when healthy)
+            reps = 6
+            _log(f"fetch degraded ({probe['fetch1mb']:.1f}s/MB): "
+                 f"reps -> {reps}")
+
     if cpu_fallback:
         batch = int(os.environ.get("BENCH_BATCH", "4"))
         steps = int(os.environ.get("BENCH_STEPS", "10"))
@@ -277,6 +385,15 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
         from dataclasses import replace
         cfg = replace(cfg, train=replace(cfg.train, adam_mu_dtype=adam_dt,
                                          adam_nu_dtype=adam_dt))
+    # A/B knob for gradient accumulation (TrainConfig.grad_accum_steps):
+    # the scanned stacked-block layout (BENCH_SCAN_BLOCKS=1) saves each
+    # scale's activations as ONE [L, ...] buffer and OOMs HBM at K=32
+    # (17.11 vs 15.75 GB, BENCH_NOTES r3) — accumulation cuts the live
+    # activation set ~A-fold at one extra grads buffer
+    accum = int(os.environ.get("BENCH_TRAIN_ACCUM", "1"))
+    if accum > 1:
+        from dataclasses import replace
+        cfg = replace(cfg, train=replace(cfg.train, grad_accum_steps=accum))
 
     sched = make_schedule(schedule_name=cfg.diffusion.beta_schedule,
                           num_timesteps=cfg.diffusion.num_timesteps)
@@ -293,6 +410,11 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
         "t": jnp.linspace(0, 999, B).astype(jnp.int32),
         "t_weight": jnp.ones((B,), jnp.float32),
     }
+    if accum > 1:
+        # the accumulating step wants host-chunked [A, B/A, ...] leaves
+        # (Trainer._chunk's layout)
+        batch = {k: v.reshape(accum, B // accum, *v.shape[1:])
+                 for k, v in batch.items()}
     # the Trainer's training-stream default: TPU-native RngBitGenerator
     # (cfg.train.rng_impl — threefry dropout masks cost ~77 ms/step here)
     rng = jax.random.key(0, impl=cfg.train.jax_rng_impl)
@@ -382,8 +504,9 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
     mstep_s = (time.time() - t0) / mreps / K
     assert math.isfinite(mlast), (
         f"scanned train bench diverged: loss={mlast} (first {warm})")
-    line = (f"# train-scan{K}: step={mstep_s*1000:.1f}ms batch={B} "
-            f"frames/s={B*T/mstep_s:.0f} loss={warm:.3f}->{mlast:.3f} "
+    line = (f"# train-scan{K}: step={mstep_s*1000:.1f}ms batch={B}"
+            + (f" accum={accum}" if accum > 1 else "")
+            + f" frames/s={B*T/mstep_s:.0f} loss={warm:.3f}->{mlast:.3f} "
             f"compile={mcompile_s:.1f}s")
     if flops:
         line += (f" flops/step={flops/1e9:.1f}G "

@@ -5,6 +5,11 @@ devices — together an 8-device global mesh spanning a process boundary,
 the CPU stand-in for a 2-host TPU pod slice.
 
 Modes:
+  smoke <rank> <nprocs> <port>   — fast (no flax, no train step): distributed
+      init, global mesh across the process boundary, shard_batch's
+      make_array_from_process_local_data assembly, one psum collective,
+      compile_synced + coordination_barrier. The fast-subset tier's
+      process-boundary coverage (the parity/cli runs below are @slow).
   parity <rank> <nprocs> <port>  — low-level: sharded train step over the
       global mesh on a KNOWN global batch; prints per-step losses as JSON.
   cli <rank> <nprocs> <port> <run_dir> — end-to-end: the real train CLI
@@ -17,15 +22,16 @@ import os
 import sys
 
 
-def _env_setup():
-    # mirror tests/conftest.py, but 4 local devices per process
+def _env_setup(local_devices: int = 4):
+    # mirror tests/conftest.py, but N local devices per process
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
     flags = os.environ.get("XLA_FLAGS", "")
     flags = " ".join(f for f in flags.split()
                      if "xla_force_host_platform_device_count" not in f)
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=4").strip()
+        flags + f" --xla_force_host_platform_device_count={local_devices}"
+    ).strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_threefry_partitionable", True)
@@ -107,6 +113,48 @@ def run_parity(rank: int, nprocs: int, port: int) -> None:
         }), flush=True)
 
 
+def run_smoke(rank: int, nprocs: int, port: int) -> None:
+    """Minimal process-boundary exercise, built for speed: 2 local devices,
+    no flax import, one tiny jitted psum. Covers the exact wiring the
+    @slow tests prove at full depth — initialize_distributed, a global
+    mesh spanning processes, shard_batch's process-local assembly, a
+    cross-process collective, compile_synced, coordination_barrier."""
+    jax = _env_setup(local_devices=2)
+    from motiondiffusion_moe_tpu.parallel.distributed import (
+        coordination_barrier, initialize_distributed)
+    initialize_distributed(f"localhost:{port}", nprocs, rank,
+                           local_device_ids=list(range(2)))
+    assert jax.process_count() == nprocs
+    ndev = 2 * nprocs
+    assert len(jax.devices()) == ndev
+
+    import numpy as np
+    from motiondiffusion_moe_tpu.parallel import make_mesh, shard_batch
+    from motiondiffusion_moe_tpu.parallel.distributed import compile_synced
+
+    mesh = make_mesh(ndev)
+    B = 2 * ndev  # 2 rows per device
+    # each process contributes ITS rows of a known global batch; values
+    # encode the global row index so the reduction proves true assembly
+    gb = {"x": np.arange(B, dtype=np.float32)[:, None] * np.ones((B, 3),
+                                                                 np.float32)}
+    lo, hi = rank * (B // nprocs), (rank + 1) * (B // nprocs)
+    local = {k: v[lo:hi] for k, v in gb.items()}
+    with mesh:
+        sharded = shard_batch(local, mesh)
+        assert sharded["x"].shape == (B, 3)
+
+        def global_sum(b):
+            return b["x"].sum()
+
+        fn = compile_synced(jax.jit(global_sum), "smoke")
+        total = float(fn(sharded))
+    expect = float(gb["x"].sum())
+    assert total == expect, (total, expect)
+    coordination_barrier("smoke_done")
+    print(f"SMOKE_OK rank={rank} sum={total}", flush=True)
+
+
 def run_cli(rank: int, nprocs: int, port: int, run_dir: str) -> None:
     _env_setup()
     from motiondiffusion_moe_tpu.tools.train import main
@@ -132,7 +180,9 @@ def run_cli(rank: int, nprocs: int, port: int, run_dir: str) -> None:
 
 if __name__ == "__main__":
     mode = sys.argv[1]
-    if mode == "parity":
+    if mode == "smoke":
+        run_smoke(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    elif mode == "parity":
         run_parity(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
     elif mode == "cli":
         run_cli(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
