@@ -56,19 +56,22 @@ def _start_watchdog() -> None:
 
 
 def _probe_tunnel(deadline_s: float = 120.0) -> dict:
-    """One tiny device round-trip with a hard deadline.
+    """Two-stage device round-trip probe with hard deadlines.
 
     The axon tunnel's measured failure mode (rounds 4-5) is DISPATCHES
-    FINE, FETCHES STALL — even a 4-byte device_get can hang for minutes.
-    A stalled probe means every generate() below would hang too, so the
-    bench reports the stall as its result instead of dying with nothing.
-    Returns {ok, put, fetch1mb} (times in seconds) or {ok: False}.
+    FINE, FETCHES STALL/CRAWL. Stage 1 (put + 4-byte fetch) gates
+    everything: if even a scalar can't come back, every measurement below
+    would hang until the driver kills us — report the stall instead.
+    Stage 2 (1 MB fetch, 60 s) only CLASSIFIES bandwidth: a hang there
+    means scalar-fetch workloads still work but bulk downloads don't
+    (fetch1mb=None -> callers switch to device-consumed mode).
+    Returns {ok, put, fetch_scalar, fetch1mb | None}.
     """
     import threading
 
     res: dict = {"ok": False}
 
-    def work():
+    def stage1():
         import jax
         import jax.numpy as jnp
         t0 = time.time()
@@ -76,13 +79,27 @@ def _probe_tunnel(deadline_s: float = 120.0) -> dict:
         x.block_until_ready()
         res["put"] = time.time() - t0
         t0 = time.time()
-        jax.device_get(jax.random.normal(jax.random.key(0), (262144,)))
-        res["fetch1mb"] = time.time() - t0
+        jax.device_get(x)
+        res["fetch_scalar"] = time.time() - t0
         res["ok"] = True
 
-    th = threading.Thread(target=work, daemon=True)
+    th = threading.Thread(target=stage1, daemon=True)
     th.start()
     th.join(deadline_s)
+    if not res.get("ok"):
+        return res
+
+    def stage2():
+        import jax
+        t0 = time.time()
+        jax.device_get(jax.random.normal(jax.random.key(0), (262144,)))
+        res["fetch1mb"] = time.time() - t0
+
+    th2 = threading.Thread(target=stage2, daemon=True)
+    th2.start()
+    th2.join(60.0)
+    if "fetch1mb" not in res:
+        res["fetch1mb"] = None  # bulk path hung; scalar path is alive
     return res
 
 
@@ -179,9 +196,11 @@ def _run():
                 "unit": "motions/s/chip",
                 "vs_baseline": 0.0,
             }, "# tunnel probe stalled; no measurement possible", [])
+        f1 = probe.get("fetch1mb")
         _log(f"tunnel ok: put={probe['put']:.2f}s "
-             f"fetch1mb={probe['fetch1mb']:.2f}s")
-        if probe["fetch1mb"] > 2.0:
+             f"scalar={probe['fetch_scalar']:.2f}s "
+             f"fetch1mb={'HUNG' if f1 is None else f'{f1:.2f}s'}")
+        if f1 is None or f1 > 2.0:
             # Degraded-but-alive DOWNLOAD path (measured r5: uploads at
             # ~28 MB/s while device->host fetches crawled at <0.5 MB/s).
             # Each rep fetches ~3.3 MB of motions; at that rate the
@@ -192,7 +211,8 @@ def _run():
             # Production TPU hosts read results over PCIe/DMA at GB/s —
             # the tunnel's bad day is an artifact of this environment.
             reduced_fetch = True
-            _log(f"fetch degraded ({probe['fetch1mb']:.1f}s/MB): "
+            _log(f"fetch degraded "
+                 f"({'hung' if f1 is None else f'{f1:.1f}s'}/MB): "
                  "device-side consumption mode")
 
     if cpu_fallback:
@@ -466,9 +486,12 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
     sched = make_schedule(schedule_name=cfg.diffusion.beta_schedule,
                           num_timesteps=cfg.diffusion.num_timesteps)
     tx = make_optimizer(cfg)
+    # ONE jitted program for the optimizer-state zeros: eager tree_map
+    # init dispatches ~2x leaf-count device ops (each paying the tunnel's
+    # per-dispatch latency — seconds when degraded)
+    _log("initializing optimizer state on device...")
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=jax.device_put(
-                           tx.init(params), jax.devices()[0]), tx=tx)
+                       opt_state=jax.jit(tx.init)(params), tx=tx)
 
     batch = {
         "motion": jnp.zeros((B, T, D), jnp.float32),
@@ -553,12 +576,16 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
     compiled_m = jax.jit(multi, donate_argnums=(0,)).lower(
         state, batches, rng).compile()
     mcompile_s = time.time() - t0
-    flops = None
+    flops = hbm_bytes = None
     try:
         cost = compiled_m.cost_analysis()
         if cost:
             # NO /K: cost_analysis counts the scan body once (per-step)
             flops = (float(cost.get("flops", 0.0)) or None)
+            # per-step HBM traffic: the roofline's other axis (819 GB/s
+            # on v5e) — the MFU ceiling for this memory-bound-leaning
+            # step is min(1, peak_time/step) with both floors printed
+            hbm_bytes = (float(cost.get("bytes accessed", 0.0)) or None)
     except Exception:
         pass
     _log(f"scanned program compiled in {mcompile_s:.1f}s; timing...")
@@ -579,6 +606,10 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
     if flops:
         line += (f" flops/step={flops/1e9:.1f}G "
                  f"mfu={flops/mstep_s/197e12*100:.1f}%")
+    if hbm_bytes:
+        line += (f" hbm/step={hbm_bytes/2**30:.2f}GiB "
+                 f"(mxu-floor {flops/197e12*1e3:.1f}ms, "
+                 f"hbm-floor {hbm_bytes/819e9*1e3:.1f}ms)")
     out_lines.append(line)
     out = "\n".join(out_lines)
     return out
