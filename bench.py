@@ -91,8 +91,17 @@ def _probe_tunnel(deadline_s: float = 120.0) -> dict:
 
     def stage2():
         import jax
+        import jax.numpy as jnp
+        # time the FETCH alone: materialize + sync first, or the probe
+        # charges the tunnel for this program's compile/execute (measured
+        # ~2 s for a cold random.normal — enough to misclassify a healthy
+        # ~14 MB/s link as degraded and silently switch the headline to
+        # device-consumed mode)
+        x = jnp.ones((262144,), jnp.float32)
+        x.block_until_ready()
+        jax.device_get(x[:8])  # sync: block_until_ready is not a barrier here
         t0 = time.time()
-        jax.device_get(jax.random.normal(jax.random.key(0), (262144,)))
+        jax.device_get(x)
         res["fetch1mb"] = time.time() - t0
 
     th2 = threading.Thread(target=stage2, daemon=True)
@@ -607,9 +616,13 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
         line += (f" flops/step={flops/1e9:.1f}G "
                  f"mfu={flops/mstep_s/197e12*100:.1f}%")
     if hbm_bytes:
-        line += (f" hbm/step={hbm_bytes/2**30:.2f}GiB "
-                 f"(mxu-floor {flops/197e12*1e3:.1f}ms, "
-                 f"hbm-floor {hbm_bytes/819e9*1e3:.1f}ms)")
+        # XLA's "bytes accessed" is fusion-unaware (sums every HLO op's
+        # operand+result bytes; measured ~3.5x the feasible traffic at
+        # this step time) — report it as the upper bound it is, with the
+        # MXU floor as the only defensible roofline floor
+        line += (f" mxu-floor={flops/197e12*1e3:.1f}ms "
+                 f"xla-bytes/step={hbm_bytes/2**30:.0f}GiB "
+                 "(fusion-unaware upper bound)")
     out_lines.append(line)
     out = "\n".join(out_lines)
     return out
