@@ -189,10 +189,15 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
         )
     else:
         adam = optax.adam(lr, mu_dtype=mu_dtype)
-    return optax.chain(
-        clip_by_grouped_global_norm(cfg.train.grad_clip_norm),
-        adam,
-    )
+    # GRAD_CLIP_IMPL=plain: measurement knob (read at trace time, like
+    # LN_BF16_STATS) that swaps in optax's per-leaf clip so the grouped
+    # form's device-time win can be A/B'd on chip; never a config surface.
+    import os
+    if os.environ.get("GRAD_CLIP_IMPL", "grouped") == "plain":
+        clip = optax.clip_by_global_norm(cfg.train.grad_clip_norm)
+    else:
+        clip = clip_by_grouped_global_norm(cfg.train.grad_clip_norm)
+    return optax.chain(clip, adam)
 
 
 def create_train_state(model: MotionTransformer, cfg: ExperimentConfig,
@@ -352,7 +357,13 @@ def make_train_step(model: MotionTransformer, sched: DiffusionSchedule,
 
     def apply_update(state: TrainState, grads, metrics):
         # same graph as the clip's norm -> XLA CSEs it away to zero cost
-        metrics["grad_norm"] = grouped_global_norm(grads)
+        # (must match the clip impl chosen in make_optimizer, or the A/B
+        # knob would pay BOTH norm graphs)
+        import os
+        if os.environ.get("GRAD_CLIP_IMPL", "grouped") == "plain":
+            metrics["grad_norm"] = optax.global_norm(grads)
+        else:
+            metrics["grad_norm"] = grouped_global_norm(grads)
         new_state = state.apply_gradients(grads)
         if tc.ema_decay > 0:
             d = tc.ema_decay
