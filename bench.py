@@ -623,6 +623,16 @@ def _train_diag(cfg, model, params, B, T, D) -> str:
         line += (f" mxu-floor={flops/197e12*1e3:.1f}ms "
                  f"xla-bytes/step={hbm_bytes/2**30:.0f}GiB "
                  "(fusion-unaware upper bound)")
+    try:
+        # real device HBM numbers (validates the analytical memory
+        # accounting, e.g. pp_stage_memory_report's activation terms)
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            line += (f" hbm-peak={peak/2**30:.2f}GiB"
+                     f"/{stats.get('bytes_limit', 0)/2**30:.2f}GiB")
+    except Exception:
+        pass
     out_lines.append(line)
     out = "\n".join(out_lines)
     return out

@@ -125,8 +125,9 @@ def _report_cost(compiled, scan: int) -> None:
     byt = float(cost.get("bytes accessed", 0.0))
     print(f"cost analysis (per step, scan={scan}): "
           f"flops={flops/1e9:.1f}G  bytes_accessed={byt/2**30:.2f}GiB  "
-          f"(mxu-floor {flops/197e12*1e3:.1f}ms @197T bf16, "
-          f"hbm-floor {byt/819e9*1e3:.1f}ms @819GB/s)",
+          f"(mxu-floor {flops/197e12*1e3:.1f}ms @197T bf16; bytes are "
+          "fusion-unaware — an upper bound on HBM traffic, ~3.5x the "
+          "feasible traffic at measured step times, NOT a floor)",
           file=sys.stderr, flush=True)
 
 

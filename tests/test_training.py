@@ -143,6 +143,31 @@ class TestGroupedGlobalNorm:
             lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6,
                                                     atol=1e-8), ref, got)
 
+    def test_clip_impl_env_knob(self, monkeypatch):
+        """GRAD_CLIP_IMPL=plain (the chip A/B knob) swaps in optax's
+        per-leaf clip; one optimizer update matches the grouped default
+        up to reassociation."""
+        from motiondiffusion_moe_tpu.config import ExperimentConfig
+        from motiondiffusion_moe_tpu.training.train_state import (
+            make_optimizer)
+
+        cfg = ExperimentConfig()
+        grads = self._tree(3.0)
+        params = jax.tree_util.tree_map(jnp.zeros_like, grads)
+
+        def one_update():
+            tx = make_optimizer(cfg)
+            upd, _ = tx.update(grads, tx.init(params), params)
+            return upd
+
+        default = one_update()
+        monkeypatch.setenv("GRAD_CLIP_IMPL", "plain")
+        plain = one_update()
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-5,
+                                                    atol=1e-8),
+            default, plain)
+
 
 class TestTrainStep:
     @pytest.fixture(scope="class")
