@@ -61,7 +61,56 @@ class CheckpointManager:
             payload["ema_params"] = state.ema_params
         if extra:
             payload.update(extra)
+        payload = self._stage_to_host(payload, step)
         self._mngr.save(step, args=ocp.args.StandardSave(payload))
+
+    @staticmethod
+    def _stage_to_host(payload: Any, step: int) -> Any:
+        """Device->host staging with a progress watchdog.
+
+        orbax's save path streams the device arrays itself with no
+        visibility; through a remote-chip tunnel whose download path can
+        stall for multi-hour windows (BENCH_NOTES.md round-5) that wedges
+        the train loop inside ``save()`` with no message. Staging the ONE
+        device->host transfer here (a) names the stall on stderr every
+        30 s instead of hanging silently, and (b) hands orbax pure-host
+        arrays, so its async write is disk-only. Multi-process saves keep
+        the orbax-native collective path (every process must contribute
+        its addressable shards; a full ``device_get`` would need
+        non-addressable ones).
+        """
+        if jax.process_count() > 1:
+            return payload
+        import sys
+        import threading
+        import time
+
+        done = threading.Event()
+        t0 = time.time()
+
+        def beat():
+            while not done.wait(30.0):
+                print(f"[checkpoint] step {step}: device->host staging "
+                      f"in flight {time.time() - t0:.0f}s (a long stall "
+                      "here is the tunnel, not the chip)",
+                      file=sys.stderr, flush=True)
+
+        th = threading.Thread(target=beat, daemon=True)
+        th.start()
+        try:
+            host = jax.device_get(payload)
+        finally:
+            done.set()
+        dt = time.time() - t0
+        if dt > 5.0:
+            nbytes = sum(
+                getattr(l, "nbytes", 0)
+                for l in jax.tree_util.tree_leaves(host))
+            print(f"[checkpoint] step {step}: staged "
+                  f"{nbytes / 2**30:.2f} GiB to host in {dt:.0f}s "
+                  f"({nbytes / max(dt, 1e-9) / 2**20:.1f} MB/s)",
+                  file=sys.stderr, flush=True)
+        return host
 
     def wait(self) -> None:
         self._mngr.wait_until_finished()
