@@ -537,6 +537,7 @@ class EvaluatorModelWrapper:
         self.params = params
         self._jit_co = jax.jit(self._co_embeddings)
         self._jit_mo = jax.jit(self._motion_embeddings)
+        self._jit_te = jax.jit(self._text_embeddings)
 
     @classmethod
     def from_torch_checkpoint(cls, path: str, **kw) -> "EvaluatorModelWrapper":
@@ -549,11 +550,15 @@ class EvaluatorModelWrapper:
         return self.motion_enc.apply(params["motion"], movements,
                                      m_lens // self.unit_length)
 
+    def _text_embeddings(self, params, word_embs, pos_ohot, cap_lens):
+        return self.text_enc.apply(params["text"], word_embs, pos_ohot,
+                                   cap_lens)
+
     def _co_embeddings(self, params, word_embs, pos_ohot, cap_lens,
                        motions, m_lens):
         motion_embedding = self._motion_embeddings(params, motions, m_lens)
-        text_embedding = self.text_enc.apply(params["text"], word_embs,
-                                             pos_ohot, cap_lens)
+        text_embedding = self._text_embeddings(params, word_embs, pos_ohot,
+                                               cap_lens)
         return text_embedding, motion_embedding
 
     # ------------------------------------------------------------------
@@ -571,3 +576,12 @@ class EvaluatorModelWrapper:
     def get_motion_embeddings(self, motions, m_lens) -> np.ndarray:
         return np.asarray(self._jit_mo(self.params, jnp.asarray(motions),
                                        jnp.asarray(m_lens)))
+
+    def get_text_embeddings(self, word_embs, pos_ohot, cap_lens
+                            ) -> np.ndarray:
+        """Text co-embeddings alone — the motion side may come from the
+        fused device path (``GenerationPipeline.generate_motion_
+        embeddings``), which never materializes motions on host."""
+        return np.asarray(self._jit_te(self.params, jnp.asarray(word_embs),
+                                       jnp.asarray(pos_ohot),
+                                       jnp.asarray(cap_lens)))

@@ -189,6 +189,71 @@ def build_generated_samples(samples: Sequence[EvalSample],
     return list(gen_samples), (mm_motions, mm_lens)
 
 
+# EmbedGenerateFn(captions, m_lens, seed) -> [len(captions), E] embedding
+# rows (the fused device sample+embed path,
+# ``GenerationPipeline.generate_motion_embeddings``)
+EmbedGenerateFn = Callable[[List[str], List[int], int], np.ndarray]
+
+
+def build_generated_embeddings(samples: Sequence[EvalSample],
+                               embed_generate: EmbedGenerateFn,
+                               *,
+                               mm_num_samples: int = 100,
+                               mm_num_repeats: int = 30,
+                               max_motion_length: int = 196,
+                               unit_length: int = 4,
+                               seed: int = 0,
+                               rng: Optional[np.random.Generator] = None
+                               ) -> Tuple[np.ndarray,
+                                          Tuple[np.ndarray, np.ndarray]]:
+    """``build_generated_samples`` with the motions never leaving the
+    device: identical caption/length/mm-repeat schedule and identical rng
+    consumption (one ``rng.choice`` for the mm subset), but the generator
+    returns evaluator co-embedding rows. Returns (gen_embs [n, E],
+    (mm_embs [mm, reps, E], mm_lens [mm]))."""
+    rng = rng or np.random.default_rng(seed)
+    n = len(samples)
+    mm_count = min(mm_num_samples, n)
+    mm_idxs = np.sort(rng.choice(n, mm_count, replace=False))
+    mm_set = set(int(i) for i in mm_idxs)
+
+    captions: List[str] = []
+    lens: List[int] = []
+    owners: List[Tuple[int, bool]] = []
+    for i, s in enumerate(samples):
+        L = snap_length(s.m_length, unit_length,
+                        max_motion_length=max_motion_length)
+        reps = mm_num_repeats if i in mm_set else 1
+        for _ in range(reps):
+            captions.append(s.caption)
+            lens.append(L)
+            owners.append((i, i in mm_set))
+
+    embs = np.asarray(embed_generate(captions, lens, seed))
+    assert embs.shape[0] == len(captions), (
+        f"embed_generate returned {embs.shape[0]} rows for "
+        f"{len(captions)} prompts")
+    E = embs.shape[-1]
+    gen_embs = np.zeros((n, E), embs.dtype)
+    seen = np.zeros((n,), bool)
+    mm_embs = np.zeros((mm_count, mm_num_repeats, E), embs.dtype)
+    mm_lens = np.zeros((mm_count,), np.int32)
+    mm_fill: Dict[int, int] = {}
+    mm_order = {int(idx): k for k, idx in enumerate(mm_idxs)}
+    for (i, is_mm), row, L in zip(owners, embs, lens):
+        if not seen[i]:
+            gen_embs[i] = row
+            seen[i] = True
+        if is_mm:
+            k = mm_order[i]
+            j = mm_fill.get(i, 0)
+            if j < mm_num_repeats:
+                mm_embs[k, j] = row
+                mm_lens[k] = L
+                mm_fill[i] = j + 1
+    return gen_embs, (mm_embs, mm_lens)
+
+
 # ---------------------------------------------------------------------------
 # metric passes (tools/evaluation.py:144-319)
 # ---------------------------------------------------------------------------
@@ -199,6 +264,31 @@ def _log(file: Optional[TextIO], msg: str) -> None:
         print(msg, file=file, flush=True)
 
 
+def _matching_from_pools(pools, name: str, file: Optional[TextIO]):
+    """Accumulate Matching Score / R-precision / activations over
+    (text_emb, motion_emb) retrieval pools (one pool = one protocol
+    batch of 512)."""
+    all_motion_embeddings = []
+    matching_score_sum = 0.0
+    top_k_count = np.zeros(3)
+    all_size = 0
+    for te, me in pools:
+        dist_mat = euclidean_distance_matrix(te, me)
+        matching_score_sum += dist_mat.trace()
+        argsorted = np.argsort(dist_mat, axis=1)
+        top_k_count = top_k_count + calculate_top_k(argsorted, 3).sum(axis=0)
+        all_size += te.shape[0]
+        all_motion_embeddings.append(me)
+    matching_score = matching_score_sum / all_size
+    R_precision = top_k_count / all_size
+    _log(file, f"---> [{name}] Matching Score: {matching_score:.4f}")
+    line = f"---> [{name}] R_precision: " + " ".join(
+        f"(top {i+1}): {R_precision[i]:.4f}" for i in range(3))
+    _log(file, line)
+    return (matching_score, R_precision,
+            np.concatenate(all_motion_embeddings, axis=0))
+
+
 def evaluate_matching_score(eval_wrapper: EvaluatorModelWrapper,
                             batch_dict: Dict[str, List[EvalBatch]],
                             file: Optional[TextIO] = None):
@@ -207,29 +297,48 @@ def evaluate_matching_score(eval_wrapper: EvaluatorModelWrapper,
     activation_dict = OrderedDict()
     _log(file, "========== Evaluating Matching Score ==========")
     for name, batches in batch_dict.items():
-        all_motion_embeddings = []
-        matching_score_sum = 0.0
-        top_k_count = np.zeros(3)
-        all_size = 0
-        for batch in batches:
-            te, me = eval_wrapper.get_co_embeddings(
-                batch.word_embs, batch.pos_ohots, batch.sent_lens,
-                batch.motions, batch.m_lens)
-            dist_mat = euclidean_distance_matrix(te, me)
-            matching_score_sum += dist_mat.trace()
-            argsorted = np.argsort(dist_mat, axis=1)
-            top_k_count = top_k_count + calculate_top_k(argsorted, 3).sum(axis=0)
-            all_size += te.shape[0]
-            all_motion_embeddings.append(me)
-        matching_score = matching_score_sum / all_size
-        R_precision = top_k_count / all_size
-        match_score_dict[name] = matching_score
-        R_precision_dict[name] = R_precision
-        activation_dict[name] = np.concatenate(all_motion_embeddings, axis=0)
-        _log(file, f"---> [{name}] Matching Score: {matching_score:.4f}")
-        line = f"---> [{name}] R_precision: " + " ".join(
-            f"(top {i+1}): {R_precision[i]:.4f}" for i in range(3))
-        _log(file, line)
+        pools = (eval_wrapper.get_co_embeddings(
+            b.word_embs, b.pos_ohots, b.sent_lens, b.motions, b.m_lens)
+            for b in batches)
+        (match_score_dict[name], R_precision_dict[name],
+         activation_dict[name]) = _matching_from_pools(pools, name, file)
+    return match_score_dict, R_precision_dict, activation_dict
+
+
+def evaluate_matching_score_from_embeddings(
+        eval_wrapper: EvaluatorModelWrapper,
+        gt_batches: List[EvalBatch],
+        gen_embs: np.ndarray,
+        model_name: str,
+        file: Optional[TextIO] = None):
+    """The matching pass when generated motions were embedded ON DEVICE
+    (``build_generated_embeddings``): the text side comes from the GT
+    batches (generation preserves caption order, so the text pools are
+    identical), the motion side from the precomputed rows."""
+    match_score_dict = OrderedDict()
+    R_precision_dict = OrderedDict()
+    activation_dict = OrderedDict()
+    _log(file, "========== Evaluating Matching Score ==========")
+    gt_pools = []
+    te_pools = []
+    for b in gt_batches:
+        te, me = eval_wrapper.get_co_embeddings(
+            b.word_embs, b.pos_ohots, b.sent_lens, b.motions, b.m_lens)
+        gt_pools.append((te, me))
+        te_pools.append(te)
+    (match_score_dict["ground truth"], R_precision_dict["ground truth"],
+     activation_dict["ground truth"]) = _matching_from_pools(
+        gt_pools, "ground truth", file)
+    sizes = [b.motions.shape[0] for b in gt_batches]
+    # make_batches drops the ragged tail (reference drop_last semantics);
+    # gen_embs covers EVERY sample in order, so slice to the pooled rows
+    assert sum(sizes) <= gen_embs.shape[0], (
+        f"{gen_embs.shape[0]} generated embeddings vs "
+        f"{sum(sizes)} GT rows")
+    me_pools = np.split(gen_embs[:sum(sizes)], np.cumsum(sizes)[:-1])
+    (match_score_dict[model_name], R_precision_dict[model_name],
+     activation_dict[model_name]) = _matching_from_pools(
+        zip(te_pools, me_pools), model_name, file)
     return match_score_dict, R_precision_dict, activation_dict
 
 
@@ -287,6 +396,25 @@ def evaluate_multimodality(eval_wrapper: EvaluatorModelWrapper,
     return eval_dict
 
 
+def evaluate_multimodality_from_embeddings(
+        mm_embs_dict: Dict[str, np.ndarray],
+        mm_num_times: int = 10,
+        file: Optional[TextIO] = None,
+        rng: Optional[np.random.Generator] = None):
+    """``evaluate_multimodality`` when the [mm, reps, E] repeat embeddings
+    were computed on device with the generation."""
+    eval_dict = OrderedDict()
+    _log(file, "========== Evaluating MultiModality ==========")
+    for name, embs in mm_embs_dict.items():
+        if embs.shape[0] == 0:
+            eval_dict[name] = 0.0
+            continue
+        mm = calculate_multimodality(embs, mm_num_times, rng=rng)
+        eval_dict[name] = mm
+        _log(file, f"---> [{name}] Multimodality: {mm:.4f}")
+    return eval_dict
+
+
 def score_mae_velocity_jerk(predicted_joints: np.ndarray,
                             original_joints: np.ndarray):
     """MAE / velocity-error / jerk-error over [B, T, J, 3] joint arrays
@@ -324,13 +452,19 @@ class ProtocolConfig:
 
 
 def evaluation(gt_samples: Sequence[EvalSample],
-               generate: GenerateFn,
+               generate: Optional[GenerateFn],
                eval_wrapper: EvaluatorModelWrapper,
                w_vectorizer,
                log_file: str,
                cfg: ProtocolConfig = ProtocolConfig(),
-               model_name: str = "model") -> Dict[str, Dict[str, np.ndarray]]:
-    """Run the full replicated protocol; returns mean/CI per metric."""
+               model_name: str = "model",
+               embed_generate: Optional[EmbedGenerateFn] = None
+               ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Run the full replicated protocol; returns mean/CI per metric.
+
+    With ``embed_generate`` set, generated motions are embedded on device
+    (fused sample+embed program) and never fetched to host — identical
+    metric math over the same pools; ``generate`` may then be None."""
     all_metrics = {
         "Matching Score": OrderedDict(),
         "R_precision": OrderedDict(),
@@ -346,29 +480,48 @@ def evaluation(gt_samples: Sequence[EvalSample],
             _log(f, f"==================== Replication {replication} "
                     f"====================")
             t0 = time.time()
-            gen_samples, mm = build_generated_samples(
-                gt_samples, generate,
-                mm_num_samples=cfg.mm_num_samples,
-                mm_num_repeats=cfg.mm_num_repeats,
-                max_motion_length=cfg.max_motion_length,
-                unit_length=cfg.unit_length,
-                seed=replication, rng=rng)
-            _log(f, f"generation took {time.time()-t0:.1f}s")
-            gen_batches = make_batches(gen_samples, w_vectorizer,
-                                       cfg.batch_size, cfg.max_text_len)
-            batch_dict = {"ground truth": gt_batches, model_name: gen_batches}
-
-            t1 = time.time()
-            mat, rprec, act = evaluate_matching_score(eval_wrapper,
-                                                      batch_dict, f)
+            if embed_generate is not None:
+                gen_embs, (mm_embs, _mm_lens) = build_generated_embeddings(
+                    gt_samples, embed_generate,
+                    mm_num_samples=cfg.mm_num_samples,
+                    mm_num_repeats=cfg.mm_num_repeats,
+                    max_motion_length=cfg.max_motion_length,
+                    unit_length=cfg.unit_length,
+                    seed=replication, rng=rng)
+                _log(f, f"generation+device-embed took "
+                        f"{time.time()-t0:.1f}s")
+                t1 = time.time()
+                mat, rprec, act = evaluate_matching_score_from_embeddings(
+                    eval_wrapper, gt_batches, gen_embs, model_name, f)
+            else:
+                gen_samples, mm = build_generated_samples(
+                    gt_samples, generate,
+                    mm_num_samples=cfg.mm_num_samples,
+                    mm_num_repeats=cfg.mm_num_repeats,
+                    max_motion_length=cfg.max_motion_length,
+                    unit_length=cfg.unit_length,
+                    seed=replication, rng=rng)
+                _log(f, f"generation took {time.time()-t0:.1f}s")
+                gen_batches = make_batches(gen_samples, w_vectorizer,
+                                           cfg.batch_size, cfg.max_text_len)
+                batch_dict = {"ground truth": gt_batches,
+                              model_name: gen_batches}
+                t1 = time.time()
+                mat, rprec, act = evaluate_matching_score(eval_wrapper,
+                                                          batch_dict, f)
             t2 = time.time()
             _log(f, f"matching/R-precision embedding took {t2-t1:.1f}s")
             fid = evaluate_fid(eval_wrapper, gt_batches,
                                {model_name: act[model_name]}, f)
             div = evaluate_diversity(act, cfg.diversity_times, f, rng=rng)
             t3 = time.time()
-            mm_res = evaluate_multimodality(eval_wrapper, {model_name: mm},
-                                            cfg.mm_num_times, f, rng=rng)
+            if embed_generate is not None:
+                mm_res = evaluate_multimodality_from_embeddings(
+                    {model_name: mm_embs}, cfg.mm_num_times, f, rng=rng)
+            else:
+                mm_res = evaluate_multimodality(
+                    eval_wrapper, {model_name: mm}, cfg.mm_num_times, f,
+                    rng=rng)
             t4 = time.time()
             _log(f, f"fid+diversity took {t3-t2:.1f}s, "
                     f"multimodality embedding took {t4-t3:.1f}s; "

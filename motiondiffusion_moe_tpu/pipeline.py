@@ -306,3 +306,88 @@ class GenerationPipeline:
         for slot in pending:
             drain(slot)
         return outputs
+
+    # ------------------------------------------------------------------
+    def generate_motion_embeddings(self, captions: Sequence[str],
+                                   m_lens: Sequence[int],
+                                   wrapper,
+                                   rng: Optional[jax.Array] = None
+                                   ) -> np.ndarray:
+        """Sample AND evaluator-embed each micro-batch in ONE device
+        program; returns [N, 512] co-embedding rows.
+
+        The eval protocol only ever feeds generated motions to the frozen
+        motion encoder (``tools/evaluation.py:144-319`` — motions are an
+        intermediate); fusing generation with the embedding keeps the
+        [B, T, D] motions in HBM and fetches ~2 KB per motion instead of
+        ~206 KB (the raw features). That is ~100x less device->host
+        traffic — the difference between a runnable and an unrunnable
+        protocol through a degraded remote-chip tunnel, and less PCIe
+        pressure on production hosts.
+
+        ``wrapper`` is an ``EvaluatorModelWrapper``; frames at or beyond
+        each motion's length are zeroed exactly like the host protocol's
+        padding (``protocol.py: build_generated_samples``). RNG consumption
+        matches ``generate`` chunk-for-chunk, so with the same key this
+        path embeds the same motions ``generate`` would return.
+        """
+        assert self.params is not None, "set pipeline.params first"
+        if self.mesh is not None:
+            # mesh serving shards the sampler explicitly; the fused embed
+            # program would need evaluator shardings too — generate + host
+            # embedding is the supported path there
+            raise NotImplementedError(
+                "generate_motion_embeddings supports single-device "
+                "pipelines; use generate() + get_motion_embeddings under "
+                "a mesh")
+        T = self.cfg.model.max_frames
+        if self._compiled is None:
+            self._compiled = self._sample_fn()
+        if getattr(self, "_embed_compiled", None) is None:
+            sample = self._compiled
+            unit = wrapper.unit_length
+
+            def fused(params, ev_params, ids_c, ids_u, lengths, key):
+                m = sample(params, ids_c, ids_u, lengths, key)
+                mask = (jnp.arange(T)[None, :, None]
+                        < lengths[:, None, None])
+                m = jnp.where(mask, m, 0.0)
+                movements = wrapper.movement_enc.apply(
+                    ev_params["movement"], m[..., :-4])
+                return wrapper.motion_enc.apply(
+                    ev_params["motion"], movements, lengths // unit)
+
+            self._embed_compiled = jax.jit(fused)
+
+        rng = rng if rng is not None else jax.random.key(0)
+        N = len(captions)
+        mb = self.micro_batch
+        uncond_ids = self.tokenize([""] * mb)
+        window = self.fetch_window
+        pending: List = []
+        outputs: List[np.ndarray] = []
+
+        def drain(slot):
+            embs, n = slot
+            outputs.append(np.asarray(embs)[:n])
+
+        for start in range(0, N, mb):
+            chunk = list(captions[start: start + mb])
+            lens = list(m_lens[start: start + mb])
+            n = len(chunk)
+            chunk += [""] * (mb - n)
+            lens += [T] * (mb - n)
+            rng, key = jax.random.split(rng)
+            embs = self._embed_compiled(
+                self.params, wrapper.params,
+                jnp.asarray(self.tokenize(chunk)),
+                jnp.asarray(uncond_ids),
+                jnp.asarray(np.minimum(lens, T).astype(np.int32)),
+                key)
+            pending.append((embs, n))
+            if len(pending) > window:
+                drain(pending.pop(0))
+        for slot in pending:
+            drain(slot)
+        return np.concatenate(outputs, axis=0) if outputs else \
+            np.zeros((0, 512), np.float32)

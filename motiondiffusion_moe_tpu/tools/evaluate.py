@@ -94,6 +94,11 @@ def main(argv=None) -> None:
                         "(0 = the FULL eval set, matching the reference's "
                         "whole-test-loader score loop)")
     p.add_argument("--skip_joint_scores", action="store_true")
+    p.add_argument("--device_embeddings", action="store_true",
+                   help="fuse generation with the evaluator motion encoder "
+                        "in one device program and fetch 512-d embeddings "
+                        "instead of raw motions (~100x less device->host "
+                        "traffic; single-device pipelines only)")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard each generation batch over this many devices"
                         " (batch_size must divide by it)")
@@ -191,8 +196,17 @@ def main(argv=None) -> None:
         unit_length=cfg.data.unit_length,
         max_motion_length=cfg.data.max_motion_length,
         max_text_len=cfg.data.max_text_len)
+    embed_generate = None
+    if args.device_embeddings:
+        if mesh is not None:
+            print("[evaluate] WARNING: --device_embeddings unsupported "
+                  "under a mesh; using the host path")
+        else:
+            def embed_generate(captions, lens, seed):
+                return pipe.generate_motion_embeddings(
+                    captions, lens, wrapper, rng=jax.random.key(seed))
     summary = evaluation(samples, generate, wrapper, wv, log_file, pcfg,
-                         model_name=cfg.name)
+                         model_name=cfg.name, embed_generate=embed_generate)
 
     if not args.skip_joint_scores:
         # MAE / velocity / jerk in joint space over the ENTIRE eval set by

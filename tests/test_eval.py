@@ -338,6 +338,43 @@ class TestProtocol:
             for model, (mean, ci) in summary[metric].items():
                 assert np.isfinite(mean).all(), metric
 
+    def test_embedding_path_matches_host_path(self, tmp_path):
+        """evaluation(embed_generate=...) — the device-embedded protocol —
+        must reproduce the host-path metrics exactly: same caption/mm
+        schedule, same rng consumption, same pools."""
+        samples = self._samples(8)
+        wv = HashedWordVectorizer()
+        wrapper = EvaluatorModelWrapper(dim_pose=263)
+
+        def fake_generate(captions, lens, seed):
+            rng = np.random.default_rng(seed)
+            return [rng.standard_normal((L, 263)).astype(np.float32) * 0.1
+                    for L in lens]
+
+        def embed_generate(captions, lens, seed):
+            outs = fake_generate(captions, lens, seed)
+            padded = np.zeros((len(outs), 196, 263), np.float32)
+            for i, o in enumerate(outs):
+                padded[i, : o.shape[0]] = o[:196]
+            return wrapper.get_motion_embeddings(
+                padded, np.asarray(lens, np.int64))
+
+        cfg = ProtocolConfig(mm_num_samples=2, mm_num_repeats=3,
+                             mm_num_times=2, diversity_times=4,
+                             replication_times=1, batch_size=4)
+        host = evaluation(samples, fake_generate, wrapper, wv,
+                          str(tmp_path / "host.txt"), cfg)
+        dev = evaluation(samples, None, wrapper, wv,
+                         str(tmp_path / "dev.txt"), cfg,
+                         embed_generate=embed_generate)
+        for metric in host:
+            for name in host[metric]:
+                np.testing.assert_allclose(
+                    np.asarray(host[metric][name][0]),
+                    np.asarray(dev[metric][name][0]),
+                    rtol=2e-4, atol=1e-5,
+                    err_msg=f"{metric}/{name}")
+
     def test_score_mae_velocity_jerk(self):
         rng = np.random.default_rng(0)
         a = rng.standard_normal((4, 32, 22, 3))

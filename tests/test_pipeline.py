@@ -72,6 +72,31 @@ class TestGenerationPipeline:
         assert outs[0].shape == (16, 26)
         assert np.isfinite(outs[0]).all()
 
+    def test_fused_motion_embeddings_match_host_path(self, trained):
+        """generate_motion_embeddings (sample+embed in one device program,
+        ~100x less device->host traffic) embeds exactly the motions
+        generate() returns: same rng stream chunk-for-chunk, protocol
+        zero-padding reproduced by the in-graph length mask."""
+        from motiondiffusion_moe_tpu.eval import EvaluatorModelWrapper
+
+        cfg, model, state = trained
+        wrapper = EvaluatorModelWrapper(dim_pose=26, unit_length=4)
+        pipe = GenerationPipeline(cfg, model, state.params, sampler="ddim",
+                                  num_inference_steps=5, micro_batch=2)
+        captions = ["walk", "jump", "run"]   # ragged tail chunk included
+        lens = [12, 16, 8]
+        fused = pipe.generate_motion_embeddings(
+            captions, lens, wrapper, rng=jax.random.key(3))
+
+        outs = pipe.generate(captions, lens, rng=jax.random.key(3))
+        padded = np.zeros((3, 16, 26), np.float32)
+        for i, o in enumerate(outs):
+            padded[i, : o.shape[0]] = o
+        host = wrapper.get_motion_embeddings(padded,
+                                             np.asarray(lens, np.int64))
+        assert fused.shape == host.shape == (3, 512)
+        np.testing.assert_allclose(fused, host, rtol=2e-4, atol=2e-5)
+
     @pytest.mark.slow
     def test_bf16_serving_params_drift(self, trained):
         """param_dtype="bfloat16" (weights stored bf16 for serving) must
