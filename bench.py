@@ -409,7 +409,7 @@ def _soak_diag() -> str:
     """Report the committed sustained-training (soak) summary, if one
     exists: >=500 flagship optimizer steps on the chip with a mid-run
     checkpoint -> kill -> resume (produced by tools/soak_report.py from
-    the train-CLI logs; see BENCH_NOTES.md 'round-4 soak')."""
+    the train-CLI logs; see BENCH_NOTES.md 'round-5 soak')."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".soak_summary.json")
     if not os.path.exists(path):
@@ -419,7 +419,7 @@ def _soak_diag() -> str:
     rates = "/".join(f"{r:.2f}" for r in s.get("sustained_steps_per_s", []))
     return (f"# soak: steps={s['total_steps']} halves={s['halves']} "
             f"loss={s['loss_first']:.3f}->{s['loss_last']:.3f} "
-            f"decreasing={s['loss_decreasing']} "
+            f"trend_ok={s['loss_decreasing']} "
             f"resume_continues={s.get('resume_step_continues', 'n/a')}/"
             f"{s.get('resume_loss_continues', 'n/a')} "
             f"sustained_steps_per_s={rates}")

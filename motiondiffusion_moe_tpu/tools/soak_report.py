@@ -52,6 +52,21 @@ def summarize(halves):
         d_steps = h[-1]["step"] - h[0]["step"]
         d_t = h[-1]["elapsed_s"] - h[0]["elapsed_s"]
         rates.append(d_steps / d_t if d_t > 0 else 0.0)
+    # Loss trend: medians of the first/last 5 lines, compared within a
+    # noise band (2x the median absolute deviation of the whole series).
+    # A single-endpoint comparison flips on plateau noise — the
+    # flagship's synthetic-data loss descends 3.7 -> 1.33 INSIDE the
+    # first K-step call (before the first log line at step K) and then
+    # sits converged, so last-vs-first raw lines is a coin flip (the
+    # round-5 soak read 1.3291 -> 1.3312 as "increasing" on a healthy
+    # plateaued run). What a soak must establish is "not diverging":
+    # the trend is decreasing OR flat within observed noise.
+    def med(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+    m_all = med(losses)
+    mad = med([abs(l - m_all) for l in losses])
+    first5, last5 = med(losses[:5]), med(losses[-5:])
     out = {
         "halves": len(halves),
         "total_steps": steps[-1],
@@ -63,7 +78,11 @@ def summarize(halves):
         "loss_first": losses[0],
         "loss_last": losses[-1],
         "loss_min": min(losses),
-        "loss_decreasing": losses[-1] < losses[0],
+        "loss_median_first5": first5,
+        "loss_median_last5": last5,
+        "loss_noise_mad": mad,
+        # decreasing-or-plateaued within noise (see comment above)
+        "loss_decreasing": last5 <= first5 + max(1e-3, 2 * mad),
         "sustained_steps_per_s": rates,
     }
     if len(halves) > 1:

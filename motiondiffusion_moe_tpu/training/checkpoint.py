@@ -15,6 +15,7 @@ Performer projection and MoE counters were never checkpointed,
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -117,6 +118,48 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
+
+    # -- epoch-completion sidecar -------------------------------------
+    # A cadence save that lands exactly on an epoch's final step stores
+    # the in-progress epoch; the trainer's end-of-epoch save at the same
+    # step is then silently SKIPPED by orbax (duplicate step), so a
+    # resume would re-run the whole completed epoch (the round-5 soak:
+    # save_latest=512 aligned with a 512-step epoch, and the resumed run
+    # trained 1536 steps where num_epochs promised 1024). The fix is a
+    # tiny atomic JSON marker next to the checkpoints — not a second
+    # multi-GiB save — recording "step S completed epoch E, resume at
+    # E+1"; restore honors it only when it matches the restored step.
+
+    def mark_epoch_complete(self, step: int, next_epoch: int) -> None:
+        """Record that the checkpoint at ``step`` sits on an epoch
+        boundary and a resume should start at ``next_epoch``. One entry
+        per step (explicit restores to EARLIER boundary checkpoints
+        resolve too). Primary process only; crash-safe (tmp + rename):
+        losing the marker just falls back to the bounded one-epoch
+        replay."""
+        if jax.process_index() != 0:
+            return
+        path = os.path.join(self.directory, "epoch_meta.json")
+        meta = self._read_epoch_meta()
+        meta[str(int(step))] = int(next_epoch)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+
+    def _read_epoch_meta(self) -> Dict[str, int]:
+        try:
+            with open(os.path.join(self.directory, "epoch_meta.json")) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return {}
+        # legacy single-entry layout {"step": S, "next_epoch": E}
+        if "step" in meta and "next_epoch" in meta:
+            return {str(int(meta["step"])): int(meta["next_epoch"])}
+        return {str(k): int(v) for k, v in meta.items()}
+
+    def _epoch_override(self, step: int, epoch: int) -> int:
+        return max(epoch, self._read_epoch_meta().get(str(step), epoch))
 
     def restore(self, state_template: Any, step: Optional[int] = None):
         """Restore into the shape of ``state_template``; returns
@@ -222,7 +265,8 @@ class CheckpointManager:
             impl = "threefry2x32" if width == 2 else "rbg"
             rng = jax.random.wrap_key_data(
                 jax.numpy.asarray(data[:width]), impl=impl)
-        return state, int(restored["epoch"]), rng
+        epoch = self._epoch_override(step, int(restored["epoch"]))
+        return state, epoch, rng
 
     def close(self) -> None:
         self._mngr.close()

@@ -457,7 +457,22 @@ class Trainer:
 
             run_pending(epoch, force=True)
             if checkpoints is not None:
-                checkpoints.save(it, state, epoch, rng=rng)
+                # End-of-epoch save records epoch+1 (the NEXT epoch) so a
+                # resume continues the epoch counter instead of re-running
+                # the completed epoch — the reference resumes at the epoch
+                # after the checkpointed one (ddpm_trainer.py epoch loop).
+                # Mid-epoch cadence saves (maybe_save) keep the
+                # in-progress epoch: resume re-runs that epoch's loader, a
+                # bounded one-epoch replay. When the cadence save already
+                # captured this exact step (orbax silently skips duplicate
+                # steps), a tiny sidecar marker carries the epoch+1 —
+                # without it the round-5 soak's resume re-ran a full epoch
+                # (save_latest=512 aligned with a 512-step epoch: 1536
+                # steps trained where num_epochs promised 1024).
+                if checkpoints.latest_step() == it:
+                    checkpoints.mark_epoch_complete(it, epoch + 1)
+                else:
+                    checkpoints.save(it, state, epoch + 1, rng=rng)
         if checkpoints is not None:
             checkpoints.wait()
         return state

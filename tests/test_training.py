@@ -395,6 +395,37 @@ class TestTrainerLoop:
         assert int(state.step) == 8
 
     @pytest.mark.slow
+    def test_resume_from_epoch_boundary_runs_remaining_epochs(
+            self, tmp_path):
+        """A cadence save landing exactly on an epoch's final step stores
+        the in-progress epoch, and orbax silently skips the end-of-epoch
+        duplicate — without the epoch-completion sidecar a resume re-ran
+        the whole completed epoch (round-5 soak: save_latest=512 aligned
+        with a 512-step epoch; the resumed run trained 1536 steps where
+        num_epochs=2 promised 1024)."""
+        cfg = tiny_config()
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, train=_dc.replace(
+            cfg.train, num_epochs=1, uncond_step=False,
+            save_latest_every=1))  # cadence aligns with the 1-step epoch
+        ds = SyntheticText2MotionDataset(cfg.data, size=4, seed=0)
+        loader = DataLoader(ds, batch_size=4, seed=0)
+        mngr = CheckpointManager(str(tmp_path / "ckpt"))
+        trainer = Trainer(cfg)
+        trainer.fit(trainer.init_state(), loader, checkpoints=mngr)
+        mngr.wait()
+        assert mngr.latest_step() == 1
+
+        cfg2 = _dc.replace(cfg, train=_dc.replace(cfg.train, num_epochs=2))
+        trainer2 = Trainer(cfg2)
+        mngr2 = CheckpointManager(str(tmp_path / "ckpt"))
+        final = trainer2.fit(trainer2.init_state(), loader,
+                             checkpoints=mngr2)
+        mngr2.close()
+        # exactly ONE more epoch (1 step), not a re-run of epoch 0 too
+        assert int(final.step) == 2
+
+    @pytest.mark.slow
     def test_resume_frees_template_state(self, tmp_path):
         """fit() owns the passed-in state: on resume the init template's
         device buffers must be FREED, not pinned by the caller's frame —
@@ -611,6 +642,34 @@ class TestEMAAndLRSchedule:
         for a, b in zip(jax.tree_util.tree_leaves(state.params),
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.slow
+    def test_epoch_sidecar_overrides_duplicate_step_save(self, tmp_path):
+        """orbax skips a second save at an existing step, so an
+        end-of-epoch save can't overwrite a boundary-aligned cadence
+        save's in-progress epoch — the sidecar marker must carry the
+        epoch+1 instead, per step."""
+        _, state, step, batch = self._setup()
+        state, _ = step(state, batch, jax.random.key(3))
+        mngr = CheckpointManager(str(tmp_path / "ckpt"))
+        mngr.save(1, state, epoch=0, rng=jax.random.key(0))
+        mngr.save(1, state, epoch=1, rng=jax.random.key(0))  # skipped
+        mngr.wait()
+        _, template, _, _ = self._setup()
+        _, ep = mngr.restore(template)
+        assert ep == 0  # duplicate save silently lost the epoch bump
+        mngr.mark_epoch_complete(1, 1)
+        _, template, _, _ = self._setup()
+        _, ep = mngr.restore(template)
+        assert ep == 1  # sidecar wins for its step
+        # other steps are unaffected by the marker
+        state2, _ = step(state, batch, jax.random.key(4))
+        mngr.save(2, state2, epoch=1, rng=jax.random.key(0))
+        mngr.wait()
+        _, template, _, _ = self._setup()
+        _, ep = mngr.restore(template)  # latest = step 2
+        assert ep == 1
+        mngr.close()
 
     def test_select_params_ema_is_full_variables_dict(self):
         """select_params(use_ema=True) must be a drop-in for .params:
