@@ -11,14 +11,28 @@ by toy-model / random-init evidence (VERDICT r3 weak #6):
 - bf16-resident serving weights: trajectory drift of ``param_dtype=
   bfloat16`` (the ``tools/export.py`` serving cast) vs the f32 weights.
 
-Usage (after a training run, e.g. the round-4 soak):
+Usage (after a training run, e.g. the round-5 soak):
 
     python -m motiondiffusion_moe_tpu.tools.serving_quality \
-        --run_dir .soak/soak_r4 [--use_ema] [--batch 8] \
+        --run_dir .soak/ckpts/soak_r5 [--use_ema] [--batch 32] \
         [--evaluator_ckpt path/to/finest.tar]
 
 Prints one table; wall-clock dominated by XLA compiles (each
 solver/step-count/dtype combination is its own program).
+
+Tunnel discipline (the round-5 lesson — the first run of this tool hung
+>10 min on a FOUR-BYTE ``int(state.step)`` fetch while the remote-chip
+tunnel's download path sat in a stalled window, BENCH_NOTES.md round-5):
+
+- the checkpoint restores on the HOST CPU backend — serving needs only
+  the selected params on device (1.45 GB upload, the healthy direction),
+  not the 5.4 GiB train state;
+- every comparison (trajectory RMSE, evaluator-embedding distances, bf16
+  drift) computes ON DEVICE in one jitted program per pair; sampled
+  motions never leave HBM;
+- the host fetches scalars only: one (checksum, nonfinite) sync pair per
+  variant for timing/validation, then a single ``device_get`` for the
+  whole stats table.
 """
 
 from __future__ import annotations
@@ -40,6 +54,7 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from motiondiffusion_moe_tpu.utils.cache import enable_compilation_cache
@@ -54,37 +69,106 @@ def main(argv=None) -> None:
 
     cfg = ExperimentConfig.load(os.path.join(args.run_dir, "config.json"))
     trainer = Trainer(cfg)
-    state = trainer.init_state()
-    ckpt = CheckpointManager(os.path.join(args.run_dir, "ckpt"))
-    restored = ckpt.restore(state)
-    if restored is None:
-        raise FileNotFoundError(f"no checkpoint in {args.run_dir}/ckpt")
-    state, _ = restored
+    # host-side restore: init the template AND restore on the CPU backend,
+    # so the multi-GiB optimizer state never crosses the tunnel and the
+    # step read below is a host access, not a device fetch
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state = trainer.init_state()
+        ckpt = CheckpointManager(os.path.join(args.run_dir, "ckpt"))
+        restored = ckpt.restore(state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint in {args.run_dir}/ckpt")
+        state, _ = restored
     params = select_params(state, args.use_ema)
-    print(f"[serving-quality] restored step {int(state.step)} "
-          f"(ema={args.use_ema})")
+    step0 = int(jax.device_get(state.step))
+    print(f"[serving-quality] restored step {step0} (ema={args.use_ema}) "
+          "on host", flush=True)
 
     B = args.batch
     T = cfg.data.max_motion_length
     ds = SyntheticText2MotionDataset(cfg.data, size=B, seed=7)
     captions = [ds[i][0] for i in range(B)]
-    lens = [T] * B
+    lengths = jnp.asarray(np.full((B,), T, np.int32))
+
+    if args.evaluator_ckpt:
+        wrapper = EvaluatorModelWrapper.from_torch_checkpoint(
+            args.evaluator_ckpt, dim_pose=cfg.data.dim_pose,
+            unit_length=cfg.data.unit_length)
+        ev_kind = "finest.tar"
+    else:
+        wrapper = EvaluatorModelWrapper(dim_pose=cfg.data.dim_pose,
+                                        unit_length=cfg.data.unit_length)
+        ev_kind = "random-init (relative distances only)"
+    unit = wrapper.unit_length
+
+    # device params are shared across same-dtype pipelines (device_put on
+    # an already-placed tree is a no-op) so each dtype uploads once
+    placed = {}
+
+    @jax.jit
+    def sync_stats(m):
+        # device-consumed validation sync: 2 scalars instead of the
+        # [B, T, D] motions (bench.py's degraded-tunnel sampler mode)
+        return jnp.sum(m * 1e-3), jnp.sum(~jnp.isfinite(m))
+
+    @jax.jit
+    def embed_dev(ev_params, m, lens):
+        # same math as the fused eval path
+        # (pipeline.generate_motion_embeddings): zero frames at/after each
+        # length, movement-encode, then the masked-scan motion encoder
+        mask = (jnp.arange(T)[None, :, None] < lens[:, None, None])
+        m = jnp.where(mask, m, 0.0)
+        movements = wrapper.movement_enc.apply(
+            ev_params["movement"], m[..., :-4])
+        return wrapper.motion_enc.apply(
+            ev_params["motion"], movements, lens // unit)
+
+    @jax.jit
+    def pair_stats(x, ref, ex, eref):
+        scale = jnp.sqrt(jnp.mean(ref ** 2))
+        enorm = jnp.mean(jnp.linalg.norm(eref, axis=-1))
+        traj = jnp.sqrt(jnp.mean((x - ref) ** 2)) / jnp.maximum(scale, 1e-8)
+        emb = jnp.mean(jnp.linalg.norm(ex - eref, axis=-1)) \
+            / jnp.maximum(enorm, 1e-8)
+        return traj, emb
+
+    @jax.jit
+    def drift_stat(x, y, ref):
+        scale = jnp.sqrt(jnp.mean(ref ** 2))
+        return jnp.sqrt(jnp.mean((x - y) ** 2)) / jnp.maximum(scale, 1e-8)
 
     def sample(sampler, steps, dtype=None, seed=123):
-        pipe = GenerationPipeline(cfg, trainer.model, params,
+        """One micro-batch sampled on device; returns the DEVICE array."""
+        key = dtype or "f32"
+        pipe = GenerationPipeline(cfg, trainer.model,
+                                  placed.get(key, params),
                                   sampler=sampler,
                                   num_inference_steps=steps, micro_batch=B,
                                   param_dtype=dtype)
+        placed[key] = pipe.params
+        if pipe._compiled is None:
+            pipe._compiled = pipe._sample_fn()
+        ids_c = jnp.asarray(pipe.tokenize(captions))
+        ids_u = jnp.asarray(pipe.tokenize([""] * B))
+        name = (f"{sampler}{steps or cfg.diffusion.num_timesteps}"
+                f"{' bf16' if dtype else ''}")
+        # phase prints: through the remote tunnel a silent multi-minute
+        # gap is ambiguous (server-side compile vs stalled fetch) — name
+        # the phase so a hung run documents where it died
+        print(f"[serving-quality] {name}: dispatching (compile on first "
+              "touch)...", flush=True)
         t0 = time.time()
-        outs = pipe.generate(captions, lens, rng=jax.random.key(seed))
+        m = pipe._compiled(pipe.params, ids_c, ids_u, lengths,
+                           jax.random.key(seed))
+        print(f"[serving-quality] {name}: dispatched "
+              f"{time.time() - t0:.1f}s; value-fetch sync...", flush=True)
+        chk, nonfinite = jax.device_get(sync_stats(m))
         dt = time.time() - t0
-        x = np.stack([np.asarray(o, np.float32) for o in outs])
-        assert np.isfinite(x).all(), f"{sampler}-{steps}-{dtype}: non-finite"
-        print(f"[serving-quality] {sampler}"
-              f"{steps or cfg.diffusion.num_timesteps}"
-              f"{' bf16' if dtype else ''}: sampled in {dt:.1f}s "
-              "(incl. compile)")
-        return x
+        assert int(nonfinite) == 0, f"{name}: {int(nonfinite)} non-finite"
+        print(f"[serving-quality] {name}: sampled in {dt:.1f}s "
+              f"(incl. compile; checksum {float(chk):.3f})", flush=True)
+        return m
 
     # the probability-flow reference: full-schedule deterministic DDIM, f32
     ref = sample("ddim", None)
@@ -96,38 +180,29 @@ def main(argv=None) -> None:
                      ("dpm20-bf16", "dpm", 20, "bfloat16")]
     outs = {name: sample(s, st, dt) for name, s, st, dt in variants}
 
-    scale = float(np.sqrt(np.mean(ref ** 2)))
-
-    if args.evaluator_ckpt:
-        wrapper = EvaluatorModelWrapper.from_torch_checkpoint(
-            args.evaluator_ckpt, dim_pose=cfg.data.dim_pose,
-            unit_length=cfg.data.unit_length)
-        ev_kind = "finest.tar"
-    else:
-        wrapper = EvaluatorModelWrapper(dim_pose=cfg.data.dim_pose,
-                                        unit_length=cfg.data.unit_length)
-        ev_kind = "random-init (relative distances only)"
-    lens64 = np.full((B,), T, np.int64)
-
-    def embed(x):
-        return np.asarray(wrapper.get_motion_embeddings(x, lens64))
-
-    emb_ref = embed(ref)
-    emb_norm = max(float(np.linalg.norm(emb_ref, axis=-1).mean()), 1e-8)
-
-    print(f"\n[serving-quality] checkpoint step {int(state.step)}, "
-          f"B={B}, T={T}, evaluator: {ev_kind}")
-    print(f"{'variant':<14} {'traj RMSE/rms':>14} {'emb dist (rel)':>15}")
+    emb_ref = embed_dev(wrapper.params, ref, lengths)
+    stats = {}
     for name, x in outs.items():
-        traj = float(np.sqrt(np.mean((x - ref) ** 2))) / max(scale, 1e-8)
-        emb = float(np.linalg.norm(embed(x) - emb_ref, axis=-1).mean())
-        print(f"{name:<14} {traj:>14.4f} {emb / emb_norm:>15.4f}")
-    # bf16 drift isolated from solver error: bf16 vs the SAME solver in f32
+        ex = embed_dev(wrapper.params, x, lengths)
+        stats[name] = pair_stats(x, ref, ex, emb_ref)
+    drifts = {}
     if not args.skip_bf16:
         for a, b in (("ddim50", "ddim50-bf16"), ("dpm20", "dpm20-bf16")):
-            d = float(np.sqrt(np.mean((outs[b] - outs[a]) ** 2)))
-            print(f"bf16 drift {a}: {d / max(scale, 1e-8):.5f} "
-                  "(traj RMSE/rms vs same-solver f32)")
+            drifts[a] = drift_stat(outs[b], outs[a], ref)
+    # ONE host fetch for the whole table
+    print("[serving-quality] fetching stats table (one device_get)...",
+          flush=True)
+    stats, drifts = jax.device_get((stats, drifts))
+
+    print(f"\n[serving-quality] checkpoint step {step0}, "
+          f"B={B}, T={T}, evaluator: {ev_kind}")
+    print(f"{'variant':<14} {'traj RMSE/rms':>14} {'emb dist (rel)':>15}")
+    for name, (traj, emb) in stats.items():
+        print(f"{name:<14} {float(traj):>14.4f} {float(emb):>15.4f}")
+    # bf16 drift isolated from solver error: bf16 vs the SAME solver in f32
+    for a, d in drifts.items():
+        print(f"bf16 drift {a}: {float(d):.5f} "
+              "(traj RMSE/rms vs same-solver f32)")
 
 
 if __name__ == "__main__":

@@ -83,6 +83,39 @@ def _save_finest_tar(path: str, dim_pose: int) -> None:
 
 
 @pytest.mark.slow
+class TestServingQualityCLI:
+    def test_table_on_trained_checkpoint(self, tmp_path, capsys):
+        """tools/serving_quality end-to-end on a tiny trained run: all
+        solver/dtype variants sample device-resident, stats come back as
+        one scalar fetch, and the table + bf16 drift lines print. (The
+        tool's device-side discipline exists for the remote-chip tunnel —
+        BENCH_NOTES.md round-5 — but the math is backend-agnostic.)"""
+        from motiondiffusion_moe_tpu.tools.serving_quality import (
+            main as sq_main)
+        from motiondiffusion_moe_tpu.tools.train import main as train_main
+
+        train_main([
+            "--name", "sqrun", "--dataset", "synthetic",
+            "--synthetic_size", "8", "--checkpoint_dir", str(tmp_path),
+            "--batch_size", "4", "--num_epochs", "1",
+            "--num_layers", "1", "--latent_dim", "32", "--ff_size", "16",
+            "--num_heads", "2", "--num_experts", "4",
+            "--text_latent_dim", "16", "--diffusion_steps", "50",
+            "--no_uncond_step", "--ema_decay", "0.9",
+        ])
+        sq_main(["--run_dir", str(tmp_path / "sqrun"), "--use_ema",
+                 "--batch", "4"])
+        out = capsys.readouterr().out
+        assert "restored step" in out and "on host" in out
+        for name in ("ddim50", "dpm20", "dpm10", "ddim50-bf16",
+                     "dpm20-bf16"):
+            assert f"\n{name} " in out, (name, out[-1500:])
+        assert out.count("bf16 drift") == 2
+        # every variant validated finite on device
+        assert out.count("checksum") == 6  # ref + 5 variants
+
+
+@pytest.mark.slow
 class TestEvaluateCLIEndToEnd:
     def test_full_protocol(self, tmp_path, capsys):
         """Train 1 tiny epoch through the train CLI, then run the full
