@@ -125,13 +125,20 @@ def main(argv=None) -> None:
 
     cfg = ExperimentConfig.load(os.path.join(args.run_dir, "config.json"))
     trainer = Trainer(cfg)
-    state = trainer.init_state()
-    ckpt = CheckpointManager(os.path.join(args.run_dir, "ckpt"))
-    restored = ckpt.restore(state)
-    if restored is None:
-        raise FileNotFoundError(f"no checkpoint in {args.run_dir}/ckpt")
-    state, _ = restored
-    print(f"[evaluate] restored step {int(state.step)}")
+    # host-side restore (serving_quality's round-5 tunnel lesson): eval
+    # only needs the selected params on device — the pipeline places them
+    # below — not the multi-GiB optimizer state, and the step read must
+    # not be a device fetch (a 4-byte fetch can hang for minutes in a
+    # remote-tunnel stall window)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state = trainer.init_state()
+        ckpt = CheckpointManager(os.path.join(args.run_dir, "ckpt"))
+        restored = ckpt.restore(state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint in {args.run_dir}/ckpt")
+        state, _ = restored
+    print(f"[evaluate] restored step {int(jax.device_get(state.step))}")
 
     meta = os.path.join(args.run_dir, "meta")
     normalizer = (MotionNormalizer.load(meta) if os.path.exists(meta)
