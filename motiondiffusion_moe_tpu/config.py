@@ -125,7 +125,11 @@ class ModelConfig:
     # XLA compile time, and the stacked layout is what layer-sharded
     # schemes (pipeline staging) partition. Checkpoints convert between
     # layouts with models.transformer.stack_block_params /
-    # unstack_block_params.
+    # unstack_block_params. TRAINING the flagship in this layout needs
+    # remat_blocks="dots": the stacked per-block activation buffer
+    # otherwise OOMs a 16 GiB chip (17.11 GiB needed); with dots it fits
+    # at 118 ms/step vs the named layout's 84 ms (chip-measured,
+    # BENCH_NOTES.md round-5 scanned-train section).
     scan_blocks: bool = False
     # GPipe microbatches per pipelined forward (0 = auto: 2x the 'pipe'
     # degree). Only read when the mesh has a 'pipe' axis > 1; the batch
