@@ -199,8 +199,9 @@ def _run():
                 "metric": ("motions/sec/chip (196 frames, 50-step DDIM "
                            "CFG, flagship MoE) - NOT MEASURED: TPU tunnel "
                            "stalled (device fetch hung past the probe "
-                           "deadline). Last committed chip measurement: "
-                           "see BENCH_NOTES.md round-5"),
+                           "deadline). Last committed chip measurements: "
+                           "BENCH_SELF_r05.json (20.89 motions/s, "
+                           "6.47x) / BENCH_NOTES.md round-5"),
                 "value": 0.0,
                 "unit": "motions/s/chip",
                 "vs_baseline": 0.0,
